@@ -1,0 +1,198 @@
+"""The 20 non-UV dichromat mammals as declarative specs + one pipeline compiler.
+
+The reference implements these as 20 near-identical files (shared 6-step
+template, animals/dog.py:31-61; per-species constants, SURVEY.md §2.4). Here
+each species is *data* — a ``NonUVSpec`` row — and ``_build_program`` folds
+the whole chain (normalize -> sRGB->linear -> 3x3 dichromat matrix ->
+post-effects -> encode -> dtype restore) into one jitted XLA program.
+
+Parity decisions (documented reference defects, SURVEY.md §0):
+- Pig discards its streak-blur and chroma results (animals/pig.py:35,38);
+  we reproduce the matrix-only behavior and keep the effects available via
+  ``enabled=False`` spec entries.
+- Cat implements the *Tina-animals* merge-conflict branch
+  (animals/cat.py:73-103): center-zoom human baseline + binocular FOV warp +
+  explicit-LMS alpha=0.5 merge (NOT the collapse matrix — i.e. without the
+  matrix path's transpose quirk) + sigma=1.0 blur.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from animal_vision_tpu.core import blur, color, effects, geometry
+from animal_vision_tpu.species.base import Animal
+
+
+@dataclass(frozen=True)
+class Effect:
+    kind: str  # 'blur' | 'streak' | 'chroma' | 'scone'
+    params: tuple
+    enabled: bool = True  # False = present in the reference but a no-op there
+
+
+@dataclass(frozen=True)
+class NonUVSpec:
+    name: str
+    alpha: float
+    s_scale: float
+    effects: tuple[Effect, ...] = field(default_factory=tuple)
+
+
+def _apply_effect(img: jnp.ndarray, e: Effect) -> jnp.ndarray:
+    if not e.enabled:
+        return img
+    if e.kind == "blur":
+        return blur.gaussian_blur_hwc(img, e.params[0])
+    if e.kind == "streak":
+        return blur.streak_blur(img, *e.params)
+    if e.kind == "chroma":
+        return effects.chroma_compression(img, e.params[0])
+    if e.kind == "scone":
+        s_top, s_bottom, power, extra = e.params
+        return effects.s_cone_vertical_gain(
+            img, s_top=s_top, s_bottom=s_bottom, power=power, extra_boost=extra
+        )
+    raise ValueError(f"unknown effect kind {e.kind!r}")
+
+
+# Per-species parameters; each row cites its reference file (SURVEY.md §2.4).
+NONUV_SPECS: dict[str, NonUVSpec] = {
+    spec.name: spec
+    for spec in [
+        # animals/dog.py:46,51
+        NonUVSpec("dog", 0.58, 0.65, (Effect("blur", (3.5,)),)),
+        # animals/sheep.py:30,35
+        NonUVSpec("sheep", 0.74, 1.06, (Effect("streak", (0.48, 0.8, 2.2, 6.0)),)),
+        # animals/pig.py:30,35,38 — both effects unassigned in the reference
+        NonUVSpec(
+            "pig",
+            0.89,
+            1.32,
+            (
+                Effect("streak", (0.5, 1.2, 2.5, 3.0), enabled=False),
+                Effect("chroma", (0.55,), enabled=False),
+            ),
+        ),
+        # animals/goat.py:29,34
+        NonUVSpec("goat", 0.75, 1.06, (Effect("streak", (0.5, 0.8, 2.4, 8.0)),)),
+        # animals/cow.py:29,34
+        NonUVSpec("cow", 0.84, 1.07, (Effect("streak", (0.5, 0.9, 2.3, 6.5)),)),
+        # animals/horse.py:29,34
+        NonUVSpec("horse", 0.30, 1.02, (Effect("streak", (0.5, 0.8, 2.2, 6.0)),)),
+        # animals/rabbit.py:29,34,37
+        NonUVSpec(
+            "rabbit",
+            0.20,
+            1.01,
+            (Effect("streak", (0.52, 0.9, 2.5, 5.0)), Effect("chroma", (0.06,))),
+        ),
+        # animals/panda.py:29,34,37
+        NonUVSpec(
+            "panda",
+            0.58,
+            0.74,
+            (Effect("streak", (0.52, 1.0, 2.1, 4.5)), Effect("chroma", (0.06,))),
+        ),
+        # animals/squirrel.py:29,34
+        NonUVSpec("squirrel", 0.55, 1.05, (Effect("blur", (0.7,)),)),
+        # animals/elephant.py:29,34
+        NonUVSpec("elephant", 0.6, 0.95, (Effect("blur", (1.8,)),)),
+        # animals/lion.py:29,34
+        NonUVSpec("lion", 0.6, 0.95, (Effect("blur", (1.2,)),)),
+        # animals/wolf.py:29,34
+        NonUVSpec("wolf", 0.65, 0.95, (Effect("blur", (1.4,)),)),
+        # animals/fox.py:29,34
+        NonUVSpec("fox", 0.65, 0.98, (Effect("blur", (1.3,)),)),
+        # animals/bear.py:29,34
+        NonUVSpec("bear", 0.6, 0.95, (Effect("blur", (1.6,)),)),
+        # animals/raccoon.py:29,34
+        NonUVSpec("raccoon", 0.6, 0.98, (Effect("blur", (2.0,)),)),
+        # animals/deer.py:29,34
+        NonUVSpec("deer", 0.6, 0.95, (Effect("streak", (0.5, 0.8, 2.6, 8.0)),)),
+        # animals/kangaroo.py:29,34
+        NonUVSpec("kangaroo", 0.6, 0.98, (Effect("streak", (0.55, 0.8, 2.3, 8.0)),)),
+        # animals/tiger.py:29,34
+        NonUVSpec("tiger", 0.6, 0.95, (Effect("blur", (1.2,)),)),
+        # animals/rat.py:29,34
+        NonUVSpec("rat", 0.05, 0.86, (Effect("scone", (1.3, 0.5, 1.4, 0.25)),)),
+    ]
+}
+
+
+class NonUVAnimal(Animal):
+    """A spec-driven dichromat mammal. The compiled program returns
+    (input frame unchanged, transformed frame) like the reference template."""
+
+    def __init__(self, spec: NonUVSpec):
+        super().__init__()
+        self.spec = spec
+
+    def _build_program(self, shape, dtype):
+        spec = self.spec
+        matrix = color.collapse_lms_matrix(spec.alpha, spec.s_scale)
+
+        def fn(image):
+            norm = color.normalize_image(image)
+            lin = color.srgb_to_linear(norm)
+            out = color.apply_color_matrix(lin, matrix)
+            for e in spec.effects:
+                out = _apply_effect(out, e)
+            return image, color.encode_output(out, dtype)
+
+        return fn
+
+
+class Cat(Animal):
+    """Cat: center-zoomed human baseline + wide binocular cat view.
+
+    Parity: the Tina-animals branch of animals/cat.py (lines 73-103, the
+    intended conflict resolution per SURVEY.md §0): human branch is
+    center_zoom(original) with zoom scale from the FOV ratio; cat branch is
+    normalize -> binocular warp (in sRGB 0..1!) -> linear -> explicit LMS
+    merge alpha=0.5 -> LMS->RGB -> blur sigma=1.0 -> encode.
+    """
+
+    CAMERA_HFOV_DEG = 100.0
+    PER_EYE_HALF_FOV_DEG = 105.0
+    OVERLAP_DEG = 40.0
+    CAT_TO_HUMAN_RATIO = 1.30
+    ENABLE_FOV_WARP = True
+
+    def _build_program(self, shape, dtype):
+        scale = geometry.zoom_scale_from_fov_ratio(
+            self.CAMERA_HFOV_DEG, self.PER_EYE_HALF_FOV_DEG, self.CAT_TO_HUMAN_RATIO
+        )
+        is_int = np.issubdtype(dtype, np.integer)
+
+        def fn(image):
+            # Human branch: center zoom of the raw frame. The reference zooms
+            # the raw array (uint8 via OpenCV fixed-point); we zoom in float
+            # and restore dtype — within the parity budget (sub-LSB).
+            f = image.astype(jnp.float32)
+            zoomed = geometry.center_zoom(f, scale)
+            if is_int:
+                human = jnp.clip(zoomed + 0.5, 0, 255).astype(dtype)
+            else:
+                human = zoomed.astype(dtype)
+
+            # Cat branch from the ORIGINAL frame.
+            srgb01 = color.normalize_image(image)
+            if self.ENABLE_FOV_WARP:
+                srgb01 = geometry.binocular_fov_warp(
+                    srgb01,
+                    self.CAMERA_HFOV_DEG,
+                    self.PER_EYE_HALF_FOV_DEG,
+                    self.OVERLAP_DEG,
+                )
+            lin = color.srgb_to_linear(srgb01)
+            lms = color.srgb_to_lms(lin)
+            merged = color.merge_l_m(lms, alpha=0.5)
+            lin_rgb = color.lms_to_rgb(merged)
+            lin_rgb = blur.gaussian_blur_hwc(lin_rgb, 1.0)
+            return human, color.encode_output(lin_rgb, dtype)
+
+        return fn
