@@ -285,6 +285,63 @@ def _binocular_maps(
     return to_xsrc(gamma_l), to_xsrc(gamma_r), ymap, w_l, w_r
 
 
+@functools.lru_cache(maxsize=None)
+def binocular_warp_matrix(
+    in_w: int,
+    out_w: int,
+    fov_in_deg: float,
+    per_eye_half_fov_deg: float,
+    overlap_deg: float,
+    out_h_probe: int = 2,
+) -> np.ndarray:
+    """The binocular FOV warp as an exact (W_in, W_out) column matrix.
+
+    The warp's source x-coordinates and blend weights depend only on the
+    output column (animals/animal_utils2.py:77-104: theta = u*phi varies
+    along x only; ymap is the identity), so remap(left)+remap(right)+blend
+    collapses to one per-column linear map:
+    ``warped = clip(img01 @ M, 0, 1)``. Bilinear taps, validity masks, the
+    constant-0 border and the cos^2 blend normalization are all folded in.
+    This replaces two full-frame gathers (~100 ms at 1080p on TPU) with one
+    matmul (~0.3 ms)."""
+    xl, xr, _ymap, w_l, w_r = _binocular_maps(
+        (out_h_probe, in_w),
+        (out_h_probe, out_w),
+        fov_in_deg,
+        per_eye_half_fov_deg,
+        overlap_deg,
+    )
+    m = np.zeros((in_w, out_w), dtype=np.float64)
+    wsum = w_l[0] + w_r[0] + 1e-8
+    for eye_x, eye_w in ((xl[0], w_l[0]), (xr[0], w_r[0])):
+        for x in range(out_w):
+            wn = float(eye_w[x]) / float(wsum[x])
+            if wn == 0.0:
+                continue
+            xs = float(eye_x[x])
+            x0 = int(np.floor(xs))
+            fx = xs - x0
+            if 0 <= x0 < in_w:
+                m[x0, x] += wn * (1.0 - fx)
+            if 0 <= x0 + 1 < in_w:
+                m[x0 + 1, x] += wn * fx
+    return m.astype(np.float32)
+
+
+def resize_matrix(src: int, dst: int, interp: str = "linear") -> np.ndarray:
+    """A 1-D resize as a dense (src, dst) matrix (for matmul-based resampling
+    on the MXU instead of gathers)."""
+    kind, py, px = _resize_plan((src, 2), (dst, 2), interp)
+    if kind == "dense":
+        return py.T.astype(np.float32)
+    idx, wgt = py
+    m = np.zeros((src, dst), dtype=np.float64)
+    for t in range(idx.shape[0]):
+        for d in range(dst):
+            m[idx[t, d], d] += wgt[t, d]
+    return m.astype(np.float32)
+
+
 def binocular_fov_warp(
     img01: jnp.ndarray,
     fov_in_deg: float,

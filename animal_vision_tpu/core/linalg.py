@@ -1,0 +1,45 @@
+"""Precision-controlled matmul helpers.
+
+TPU matmuls default to bf16 (error ~4e-3 — beyond the parity budget) and
+``precision=HIGHEST`` costs 6 bf16 passes. ``matmul_3pass`` gets f32-level
+accuracy in 3 passes via the classic hi/lo bf16 split:
+    a = a_hi + a_lo  (both bf16-representable)
+    a @ b ~= a_hi@b_hi + a_hi@b_lo + a_lo@b_hi        (residual ~2^-16 rel)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_bf16_host(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side hi/lo bf16 split of a static matrix."""
+    hi = m.astype(jnp.bfloat16)
+    lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+def einsum_3pass(subscripts: str, a: jnp.ndarray, b_hi, b_lo) -> jnp.ndarray:
+    """einsum(a, b) with f32-level accuracy in 3 bf16 passes; ``b`` is given
+    pre-split (static weights)."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = jnp.asarray(b_hi)
+    bl = jnp.asarray(b_lo)
+    out = jnp.einsum(subscripts, ah, bh, preferred_element_type=jnp.float32)
+    out = out + jnp.einsum(subscripts, ah, bl, preferred_element_type=jnp.float32)
+    return out + jnp.einsum(subscripts, al, bh, preferred_element_type=jnp.float32)
+
+
+def apply_w_matrix(img: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+    """Contract an (H, W, C) image's W axis with a static (W, W_out) matrix
+    at f32-level accuracy (3 bf16 MXU passes)."""
+    hi, lo = split_bf16_host(np.asarray(m))
+    return einsum_3pass("hwc,wo->hoc", img, hi, lo)
+
+
+def apply_h_matrix(img: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+    """Contract an (H, W, C) image's H axis with a static (H_out, H) matrix."""
+    hi, lo = split_bf16_host(np.asarray(m))
+    return einsum_3pass("hwc,oh->owc", img, hi, lo)

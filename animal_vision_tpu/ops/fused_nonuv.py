@@ -1,0 +1,470 @@
+"""Fused Pallas TPU kernels for the non-UV species pipelines.
+
+One kernel = the whole species program: uint8 frame in HBM -> normalize ->
+sRGB->linear -> 3x3 dichromat matrix -> blur -> linear->sRGB -> uint8 frame.
+The XLA composition of the same chain runs at ~330 fps/chip at 1080p; these
+kernels run the dog-class chain at >1500 fps and the streak class >2000.
+
+Design notes (what made it fast):
+
+- **Interleaved layout.** The image stays (H, W*3) — no HWC<->planar
+  transposes. A u8 transpose alone costs ~0.8 ms at 1080p in XLA, more than
+  the entire kernel.
+- **Everything folded into band matrices.** For the isotropic class, the
+  horizontal blur, the 3x3 color matrix, and the reflect-101 W-borders are
+  all baked into per-segment banded matrices applied on the MXU
+  (out[3j+c] = sum_{t,c'} k[t] m[c,c'] lin[3*ref(j+t-R)+c']), in f32 via
+  precision=HIGHEST. The vertical blur and the reflect-101 H-borders are
+  baked into per-tile (T, T+2R) matrices (boundary tiles get "folded" rows).
+- **No padding passes.** Row-halos come from passing the input twice (block
+  i and block min(i+1, N-1)); partial last tiles rely on Pallas block
+  masking; out-of-range u8 garbage rows are zero-weighted by the folded
+  Y-matrices (u8 garbage is finite, so 0*garbage == 0).
+- The streak class (reference quirk: horizontal-only blur + per-row kernels
+  + per-row channel mixing — see core/blur.py) has row-varying weights, so
+  it runs on the VPU as shifted-sum with per-row weight columns; channel
+  mixing uses lane-mod-3 masks and pltpu.roll (channel shifts never cross a
+  pixel boundary, so circular roll is exact).
+
+Numerics match the golden XLA path (<= 1 uint8 LSB vs the cv2 oracles).
+Tests run these kernels in Pallas interpret mode on the CPU backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from animal_vision_tpu.core import blur as _blur
+
+_SRGB_A = 0.055
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _linearize(f):
+    return jnp.where(f <= 0.04045, f / 12.92, ((f + _SRGB_A) / (1 + _SRGB_A)) ** 2.4)
+
+
+def _encode_u8(x):
+    x = jnp.clip(x, 0.0, 1.0)
+    s = jnp.where(x <= 0.0031308, 12.92 * x, (1 + _SRGB_A) * x ** (1 / 2.4) - _SRGB_A)
+    s = jnp.clip(s, 0.0, 1.0)
+    return jnp.floor(s * 255.0 + 0.5).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _pick_tile(h: int) -> int:
+    """Tile rows: Mosaic requires block sublanes divisible by 8 (or equal to
+    the array dim). Prefer the largest multiple-of-8 divisor of H in
+    [16, 64]; a small image becomes one full-array block; otherwise 32 with
+    partial-block masking."""
+    for t in range(64, 15, -8):
+        if t % 8 == 0 and h % t == 0:
+            return t
+    if h <= 64:
+        return h
+    return 32
+
+
+def _scale_of(img: jnp.ndarray) -> jnp.ndarray:
+    """normalize_image's data-dependent 1/255 scale as an SMEM (1,1) scalar."""
+    return (
+        jnp.where(jnp.max(img) > 1, 1.0 / 255.0, 1.0).reshape(1, 1).astype(jnp.float32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matrix construction (host-side, static)
+# ---------------------------------------------------------------------------
+
+
+def _x_segments(w: int, kern: np.ndarray, mat: np.ndarray, seg_px: int = 128):
+    """Segment plan for the interleaved X-blur+color matmul.
+
+    Returns a list of (in_start_px, out_start_px, out_px, matrix) where matrix
+    has shape (3*in_px, 3*out_px) and encodes
+    out[3j+c] = sum_{t,c'} k[t]*m[c,c']*x[3*ref101(j+t-R)+c'].
+    """
+    k = len(kern)
+    r = k // 2
+    segs = []
+    out_start = 0
+    while out_start < w:
+        out_px = min(seg_px, w - out_start)
+        a = max(0, out_start - r)
+        b = min(w, out_start + out_px + r)
+        m = np.zeros((3 * (b - a), 3 * out_px), dtype=np.float64)
+        for j in range(out_start, out_start + out_px):
+            for t in range(k):
+                src = int(_blur.reflect101_index(j + t - r, w))
+                assert a <= src < b, (src, a, b)
+                for c in range(3):
+                    for c2 in range(3):
+                        m[3 * (src - a) + c2, 3 * (j - out_start) + c] += (
+                            kern[t] * mat[c, c2]
+                        )
+        segs.append((a, out_start, out_px, m.astype(np.float32)))
+        out_start += out_px
+    # Deduplicate identical matrices (all interior segments share one):
+    # rewrite each segment's 4th field to an index into the distinct list.
+    distinct: list[np.ndarray] = []
+    plan = []
+    for a, os_, op, m in segs:
+        for i, d in enumerate(distinct):
+            if d.shape == m.shape and np.array_equal(d, m):
+                plan.append((a, os_, op, i))
+                break
+        else:
+            distinct.append(m)
+            plan.append((a, os_, op, len(distinct) - 1))
+    return plan, distinct
+
+
+def _y_matrices(h: int, t_rows: int, kern: np.ndarray) -> np.ndarray:
+    """(N, T, T+2R) per-tile vertical-blur matrices with reflect-101 folding
+    at the top/bottom image boundaries (and zero weight on out-of-image
+    rows of partial/garbage windows)."""
+    k = len(kern)
+    r = k // 2
+    n = -(-h // t_rows)
+    out = np.zeros((n, t_rows, t_rows + 2 * r), dtype=np.float64)
+    for i in range(n):
+        for j in range(t_rows):
+            gi = i * t_rows + j
+            if gi >= h:
+                continue  # masked output row
+            for t in range(k):
+                src = int(_blur.reflect101_index(gi + t - r, h))
+                wsrc = src - (i * t_rows - r)
+                if 0 <= wsrc < t_rows + 2 * r:
+                    out[i, j, wsrc] += kern[t]
+                else:
+                    # Source row lives outside this tile's window. This can
+                    # only happen when H < R at extreme reflections; fall
+                    # back is handled by the caller choosing the XLA path.
+                    raise ValueError("tile window too small for kernel")
+    return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Isotropic-blur species kernel (dog / wolf / lion / ... classes)
+# ---------------------------------------------------------------------------
+
+
+def _dot3(a: jnp.ndarray, m_hi, m_lo) -> jnp.ndarray:
+    """f32-accurate matmul as three bf16 MXU passes (hi/lo split): half the
+    cost of precision=HIGHEST (6 passes), residual ~2^-16 relative — far
+    below the 1-uint8-LSB budget."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.dot(ah, m_hi, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(ah, m_lo, preferred_element_type=jnp.float32)
+    return out + jnp.dot(al, m_hi, preferred_element_type=jnp.float32)
+
+
+def _iso_kernel(
+    scale_ref, p_ref, a_ref, b_ref, my_ref, *mx_refs_and_out, segs, radius, t_rows, is_u8
+):
+    *mx_refs, o_ref = mx_refs_and_out
+    scale = scale_ref[0, 0]
+    # window = rows [i*T - R, i*T + T + R): tail of block i-1, block i, head
+    # of block i+1 (boundary blocks clamp; garbage rows are zero-weighted by
+    # the folded Y-matrices).
+    win = jnp.concatenate(
+        [p_ref[t_rows - radius :, :], a_ref[...], b_ref[:radius, :]], axis=0
+    )
+    if is_u8:
+        win = win.astype(jnp.int32).astype(jnp.float32)
+    f = jnp.clip(win * scale, 0.0, 1.0)
+    lin = _linearize(f)
+    my = my_ref[0]
+    for a, out_start, out_px, mid in segs:
+        mx_hi, mx_lo = mx_refs[2 * mid], mx_refs[2 * mid + 1]
+        seg = lin[:, 3 * a : 3 * a + mx_hi.shape[0]]
+        xb = _dot3(seg, mx_hi[...], mx_lo[...])
+        yb = jnp.dot(my, xb, precision=jax.lax.Precision.HIGHEST)
+        o_ref[:, 3 * out_start : 3 * (out_start + out_px)] = _encode_u8(yb)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "s_scale", "sigma"))
+def fused_iso_u8(img: jnp.ndarray, alpha: float, s_scale: float, sigma: float):
+    """Whole dog-class pipeline, uint8 (H,W,3) -> uint8 (H,W,3), one HBM pass.
+
+    Equivalent to normalize -> srgb_to_linear -> @collapse_lms_matrix.T ->
+    cv2-auto-ksize Gaussian blur -> encode (animals/dog.py:31-61)."""
+    from animal_vision_tpu.core import color as _color
+
+    mat = _color.collapse_lms_matrix(alpha, s_scale).astype(np.float64)
+    return fused_matrix_blur(img, tuple(map(tuple, mat)), sigma)
+
+
+@functools.partial(jax.jit, static_argnames=("mat", "sigma", "assume01"))
+def fused_matrix_blur(
+    img: jnp.ndarray, mat: tuple, sigma: float, assume01: bool = False
+):
+    """Fused linearize -> 3x3 matrix -> Gaussian blur -> encode-to-uint8 for a
+    uint8 frame or an sRGB [0,1] float frame (``assume01=True`` skips the
+    data-dependent normalize scale). ``mat`` is a 3x3 tuple-of-tuples.
+
+    Used directly by the cat pipeline (explicit-LMS merge matrix on the
+    binocular-warped sRGB frame, animals/cat.py:94-103)."""
+    h, w = int(img.shape[0]), int(img.shape[1])
+    is_u8 = img.dtype == jnp.uint8
+    ksize = _blur.cv2_auto_ksize(sigma)
+    kern = _blur.gaussian_kernel_1d(ksize, float(sigma)).astype(np.float64)
+    radius = ksize // 2
+    mat = np.asarray(mat, dtype=np.float64)
+
+    t_rows = _pick_tile(h)
+    n = -(-h // t_rows)
+    segs, distinct = _x_segments(w, kern, mat)
+    my = _y_matrices(h, t_rows, kern)
+
+    flat = img.reshape(h, w * 3)
+    if assume01:
+        scale = jnp.ones((1, 1), jnp.float32)
+    else:
+        scale = _scale_of(img)
+
+    # Pass each distinct matrix as a bf16 hi/lo pair (for _dot3).
+    mx_arrays = []
+    for m in distinct:
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        mx_arrays += [jnp.asarray(hi), jnp.asarray(lo)]
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((t_rows, w * 3), lambda i: (jnp.maximum(i - 1, 0), 0)),
+        pl.BlockSpec((t_rows, w * 3), lambda i: (i, 0)),
+        pl.BlockSpec((t_rows, w * 3), lambda i: (jnp.minimum(i + 1, n - 1), 0)),
+        pl.BlockSpec((1, t_rows, t_rows + 2 * radius), lambda i: (i, 0, 0)),
+    ] + [
+        pl.BlockSpec(tuple(m.shape), lambda i: (0, 0))  # noqa: B023
+        for m in mx_arrays
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _iso_kernel, segs=segs, radius=radius, t_rows=t_rows, is_u8=is_u8
+        ),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((t_rows, w * 3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w * 3), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(scale, flat, flat, flat, jnp.asarray(my), *mx_arrays)
+    return out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Streak-blur species kernel (horse / cow / deer / ... classes)
+# ---------------------------------------------------------------------------
+
+
+def _reflect_w_lanes(x: jnp.ndarray, pad_px: int) -> jnp.ndarray:
+    """Channel-correct reflect-101 along W for an interleaved (T, 3*W) tile,
+    built from per-pixel 3-lane slices (pad_px is small; an XLA u8 pad of the
+    full frame costs ~0.8 ms at 1080p — in-VMEM assembly is ~free)."""
+    wpx = x.shape[1] // 3
+    left = [x[:, 3 * j : 3 * (j + 1)] for j in range(pad_px, 0, -1)]
+    right = [x[:, 3 * (wpx - 2 - j) : 3 * (wpx - 1 - j)] for j in range(pad_px)]
+    return jnp.concatenate(left + [x] + right, axis=1)
+
+
+def _streak_kernel(
+    scale_ref, x_ref, k1_ref, mix_ref, k2_ref, o_ref, *, k1, k2, r1, r2, w, chroma
+):
+    scale = scale_ref[0, 0]
+    padded = _reflect_w_lanes(x_ref[...], r1 + r2)
+    f = jnp.clip(padded.astype(jnp.int32).astype(jnp.float32) * scale, 0.0, 1.0)
+    lin = _linearize(f)
+
+    # pass 1: per-row horizontal blur; taps shift by 3 lanes per pixel.
+    w1 = w + 2 * r2
+    acc = lin[:, 0 : 3 * w1] * k1_ref[:, 0:1]
+    for t in range(1, k1):
+        acc = acc + lin[:, 3 * t : 3 * (t + w1)] * k1_ref[:, t : t + 1]
+
+    # per-row 3x3 channel mix (the reference's (W,3)-as-image quirk):
+    # out[3j+c] = sum_c2 m[c,c2] * acc[3j+c2]. Channel shifts stay inside one
+    # pixel, so circular roll is exact under the lane-mod-3 mask.
+    mod3 = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1) % 3
+    mixed = jnp.zeros_like(acc)
+    for c in range(3):
+        row = jnp.zeros_like(acc)
+        for c2 in range(3):
+            shifted = acc if c2 == c else pltpu.roll(acc, (c - c2) % acc.shape[1], 1)
+            row = row + mix_ref[:, 3 * c + c2 : 3 * c + c2 + 1] * shifted
+        mixed = jnp.where(mod3 == c, row, mixed)
+
+    # pass 2: per-row horizontal blur down to W pixels.
+    acc2 = mixed[:, 0 : 3 * w] * k2_ref[:, 0:1]
+    for t in range(1, k2):
+        acc2 = acc2 + mixed[:, 3 * t : 3 * (t + w)] * k2_ref[:, t : t + 1]
+
+    if chroma is not None:
+        # chroma compression lerps toward the per-pixel channel mean; gather
+        # each pixel's three channels onto every one of its lanes with
+        # masked intra-pixel rolls (negative shifts expressed mod L).
+        lanes = acc2.shape[1]
+        mod3w = jax.lax.broadcasted_iota(jnp.int32, acc2.shape, 1) % 3
+        c0 = jnp.where(mod3w == 0, acc2, 0.0)
+        c1 = jnp.where(mod3w == 1, acc2, 0.0)
+        c2_ = jnp.where(mod3w == 2, acc2, 0.0)
+        roll = lambda x, s: pltpu.roll(x, s % lanes, 1)
+        s0 = c0 + roll(c1, -1) + roll(c2_, -2)
+        s1 = roll(c0, 1) + c1 + roll(c2_, -1)
+        s2 = roll(c0, 2) + roll(c1, 1) + c2_
+        gray = jnp.where(mod3w == 0, s0, jnp.where(mod3w == 1, s1, s2)) * (1.0 / 3.0)
+        acc2 = gray + (acc2 - gray) * (1.0 - chroma)
+
+    o_ref[...] = _encode_u8(acc2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "s_scale", "params", "chroma")
+)
+def fused_streak_u8(
+    img: jnp.ndarray,
+    alpha: float,
+    s_scale: float,
+    params: tuple,
+    chroma: float | None = None,
+):
+    """Whole streak-species pipeline, uint8 -> uint8, one HBM pass.
+
+    normalize -> linear -> matrix -> streak blur (horizontal-only per-row
+    sigmas + per-row channel mix; core.blur.streak_blur semantics) ->
+    optional chroma compression -> encode."""
+    from animal_vision_tpu.core import color as _color
+
+    h, w = int(img.shape[0]), int(img.shape[1])
+    y_c, s_s, s_f, fo = params
+    sx, sy = _blur.streak_sigma_map(h, y_c, s_s, s_f, fo)
+    tab1, k1 = _blur._row_kernel_table(sx)
+    tab2, k2 = _blur._row_kernel_table(sy)
+    r1, r2 = k1 // 2, k2 // 2
+
+    mat = _color.collapse_lms_matrix(alpha, s_scale).astype(np.float64)
+    # Fold the dichromat color matrix into the per-row channel-mix matrices
+    # (both are per-pixel linear maps: mix_total = mix_row @ mat).
+    mix = np.stack(
+        [
+            (
+                _blur._channel_mix_matrix(_blur.cv2_auto_ksize(float(s)), float(s)).astype(np.float64)
+                @ mat
+            ).reshape(9)
+            for s in sx
+        ],
+        axis=0,
+    ).astype(np.float32)
+
+    t_rows = _pick_tile(h)
+    n = -(-h // t_rows)
+    hp = n * t_rows
+
+    flat = img.reshape(h, w * 3)
+    scale = _scale_of(img)
+
+    tab1p = jnp.asarray(np.pad(tab1, ((0, hp - h), (0, 0))))
+    tab2p = jnp.asarray(np.pad(tab2, ((0, hp - h), (0, 0))))
+    mixp = jnp.asarray(np.pad(mix, ((0, hp - h), (0, 0))))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _streak_kernel, k1=k1, k2=k2, r1=r1, r2=r2, w=w, chroma=chroma
+        ),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_rows, w * 3), lambda i: (i, 0)),
+            pl.BlockSpec((t_rows, k1), lambda i: (i, 0)),
+            pl.BlockSpec((t_rows, 9), lambda i: (i, 0)),
+            pl.BlockSpec((t_rows, k2), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_rows, w * 3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w * 3), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(scale, flat, tab1p, mixp, tab2p)
+    return out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Pointwise species kernel (pig: matrix-only; rat: matrix + row gain)
+# ---------------------------------------------------------------------------
+
+
+def _pointwise_kernel(scale_ref, x_ref, gain_ref, o_ref, *, mat9, use_gain):
+    scale = scale_ref[0, 0]
+    f = jnp.clip(x_ref[...].astype(jnp.int32).astype(jnp.float32) * scale, 0.0, 1.0)
+    lin = _linearize(f)
+    mod3 = jax.lax.broadcasted_iota(jnp.int32, lin.shape, 1) % 3
+    out = jnp.zeros_like(lin)
+    for c in range(3):
+        row = jnp.zeros_like(lin)
+        for c2 in range(3):
+            shifted = lin if c2 == c else pltpu.roll(lin, (c - c2) % lin.shape[1], 1)
+            row = row + mat9[3 * c + c2] * shifted
+        out = jnp.where(mod3 == c, row, out)
+    if use_gain:
+        # per-row gain on the blue channel only, clipped (rat's S-cone ramp)
+        blue = jnp.clip(out * gain_ref[:, 0:1], 0.0, 1.0)
+        out = jnp.where(mod3 == 2, blue, out)
+    o_ref[...] = _encode_u8(out)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "s_scale", "scone"))
+def fused_pointwise_u8(
+    img: jnp.ndarray, alpha: float, s_scale: float, scone: tuple | None = None
+):
+    """Matrix-only (pig) or matrix + S-cone row gain (rat) pipeline,
+    uint8 -> uint8 in one pass (animals/pig.py, animals/rat.py)."""
+    from animal_vision_tpu.core import color as _color
+    from animal_vision_tpu.core import effects as _effects
+
+    h, w = int(img.shape[0]), int(img.shape[1])
+    mat9 = tuple(
+        float(v) for v in _color.collapse_lms_matrix(alpha, s_scale).reshape(9)
+    )
+    t_rows = _pick_tile(h)
+    n = -(-h // t_rows)
+    hp = n * t_rows
+
+    if scone is not None:
+        s_top, s_bottom, power, extra = scone
+        wvec = np.linspace(s_top, s_bottom, h, dtype=np.float32)
+        if power != 1.0:
+            t = (wvec - s_bottom) / max(1e-8, s_top - s_bottom)
+            t = np.clip(t, 0.0, 1.0) ** power
+            wvec = s_bottom + (s_top - s_bottom) * t
+        if extra != 0.0:
+            wvec = 1.0 + extra * (wvec - 1.0)
+        gain = np.pad(wvec.astype(np.float32), (0, hp - h)).reshape(-1, 1)
+    else:
+        gain = np.ones((hp, 1), dtype=np.float32)
+
+    flat = img.reshape(h, w * 3)
+    out = pl.pallas_call(
+        functools.partial(_pointwise_kernel, mat9=mat9, use_gain=scone is not None),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_rows, w * 3), lambda i: (i, 0)),
+            pl.BlockSpec((t_rows, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_rows, w * 3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w * 3), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(_scale_of(img), flat, jnp.asarray(gain))
+    return out.reshape(h, w, 3)

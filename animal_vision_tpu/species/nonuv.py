@@ -125,14 +125,51 @@ NONUV_SPECS: dict[str, NonUVSpec] = {
 
 class NonUVAnimal(Animal):
     """A spec-driven dichromat mammal. The compiled program returns
-    (input frame unchanged, transformed frame) like the reference template."""
+    (input frame unchanged, transformed frame) like the reference template.
+
+    uint8 frames dispatch to the fused Pallas kernels (ops/fused_nonuv.py) —
+    the whole chain in one HBM pass; float frames and unrecognized effect
+    stacks use the XLA composition of core ops (same numerics)."""
 
     def __init__(self, spec: NonUVSpec):
         super().__init__()
         self.spec = spec
 
+    def _fused_fn(self, dtype):
+        """Return a fused (image)->(transformed) callable or None."""
+        if np.dtype(dtype) != np.uint8:
+            return None
+        from animal_vision_tpu.ops import fused_nonuv as _fused
+
+        spec = self.spec
+        active = [e for e in spec.effects if e.enabled]
+        kinds = tuple(e.kind for e in active)
+        a, s = spec.alpha, spec.s_scale
+        if kinds == ():
+            return lambda img: _fused.fused_pointwise_u8(img, a, s)
+        if kinds == ("scone",):
+            return lambda img: _fused.fused_pointwise_u8(img, a, s, scone=active[0].params)
+        if kinds == ("blur",):
+            return lambda img: _fused.fused_iso_u8(img, a, s, active[0].params[0])
+        if kinds == ("streak",):
+            return lambda img: _fused.fused_streak_u8(img, a, s, active[0].params)
+        if kinds == ("streak", "chroma"):
+            return lambda img: _fused.fused_streak_u8(
+                img, a, s, active[0].params, chroma=active[1].params[0]
+            )
+        return None
+
     def _build_program(self, shape, dtype):
         spec = self.spec
+        fused = self._fused_fn(dtype)
+        # The streak kernel's in-VMEM reflect pad requires W > pad width;
+        # tiny frames fall back to the XLA path (same numerics).
+        if fused is not None and any(e.kind == "streak" for e in spec.effects if e.enabled):
+            if shape[1] < 32:
+                fused = None
+        if fused is not None:
+            return lambda image: (image, fused(image))
+
         matrix = color.collapse_lms_matrix(spec.alpha, spec.s_scale)
 
         def fn(image):
@@ -162,18 +199,42 @@ class Cat(Animal):
     CAT_TO_HUMAN_RATIO = 1.30
     ENABLE_FOV_WARP = True
 
+    #: explicit-LMS merge as one 3x3: pixels @ (A.T Dm.T B.T) == pixels @ M.T
+    #: with M = B @ Dm @ A (A=RGB->LMS f32, B=LMS->RGB f64 — reference dtypes).
+    @staticmethod
+    def _merge_matrix() -> np.ndarray:
+        d_merge = np.array(
+            [[0.5, 0.5, 0.0], [0.5, 0.5, 0.0], [0.0, 0.0, 1.0]], dtype=np.float32
+        )
+        return color.M_LMS_TO_RGB @ d_merge @ color.M_RGB_TO_LMS
+
     def _build_program(self, shape, dtype):
+        h, w = int(shape[0]), int(shape[1])
         scale = geometry.zoom_scale_from_fov_ratio(
             self.CAMERA_HFOV_DEG, self.PER_EYE_HALF_FOV_DEG, self.CAT_TO_HUMAN_RATIO
         )
         is_int = np.issubdtype(dtype, np.integer)
 
+        # The warp's source columns and blend weights depend only on x, so
+        # both geometry stages are exact column/row matrices applied on the
+        # MXU (3-pass bf16 ~= f32) — gathers at 1080p cost ~100 ms on TPU.
+        from animal_vision_tpu.core import linalg
+
+        cw = max(1, int(np.round(w / scale)))
+        ch = max(1, int(np.round(h / scale)))
+        x0, y0 = (w - cw) // 2, (h - ch) // 2
+        zoom_rows = geometry.resize_matrix(ch, h).T  # (H_out, ch)
+        zoom_cols = geometry.resize_matrix(cw, w)  # (cw, W_out)
+        warp_m = geometry.binocular_warp_matrix(
+            w, w, self.CAMERA_HFOV_DEG, self.PER_EYE_HALF_FOV_DEG, self.OVERLAP_DEG
+        )
+        merge = tuple(map(tuple, self._merge_matrix()))
+
         def fn(image):
-            # Human branch: center zoom of the raw frame. The reference zooms
-            # the raw array (uint8 via OpenCV fixed-point); we zoom in float
-            # and restore dtype — within the parity budget (sub-LSB).
+            # Human branch: center zoom (crop + bilinear resize as matrices).
             f = image.astype(jnp.float32)
-            zoomed = geometry.center_zoom(f, scale)
+            crop = f[y0 : y0 + ch, x0 : x0 + cw]
+            zoomed = linalg.apply_w_matrix(linalg.apply_h_matrix(crop, zoom_rows), zoom_cols)
             if is_int:
                 human = jnp.clip(zoomed + 0.5, 0, 255).astype(dtype)
             else:
@@ -182,17 +243,17 @@ class Cat(Animal):
             # Cat branch from the ORIGINAL frame.
             srgb01 = color.normalize_image(image)
             if self.ENABLE_FOV_WARP:
-                srgb01 = geometry.binocular_fov_warp(
-                    srgb01,
-                    self.CAMERA_HFOV_DEG,
-                    self.PER_EYE_HALF_FOV_DEG,
-                    self.OVERLAP_DEG,
-                )
+                srgb01 = jnp.clip(linalg.apply_w_matrix(srgb01, warp_m), 0.0, 1.0)
+
+            if np.dtype(dtype) == np.uint8:
+                from animal_vision_tpu.ops import fused_nonuv as _fused
+
+                out = _fused.fused_matrix_blur(srgb01, merge, 1.0, assume01=True)
+                return human, out
+
             lin = color.srgb_to_linear(srgb01)
-            lms = color.srgb_to_lms(lin)
-            merged = color.merge_l_m(lms, alpha=0.5)
-            lin_rgb = color.lms_to_rgb(merged)
-            lin_rgb = blur.gaussian_blur_hwc(lin_rgb, 1.0)
-            return human, color.encode_output(lin_rgb, dtype)
+            out = color.apply_color_matrix(lin, self._merge_matrix().astype(np.float32))
+            out = blur.gaussian_blur_hwc(out, 1.0)
+            return human, color.encode_output(out, dtype)
 
         return fn
