@@ -119,7 +119,29 @@ def _resize_plan(src_hw: tuple[int, int], dst_hw: tuple[int, int], interp: str):
     return ("taps", plans[0], plans[1])
 
 
+def _taps_to_dense(idx: np.ndarray, w: np.ndarray, src: int) -> np.ndarray:
+    """Fold per-output tap (indices, weights) into a dense (src, dst) matrix."""
+    dst = idx.shape[1]
+    m = np.zeros((src, dst), dtype=np.float64)
+    for t in range(idx.shape[0]):
+        for d in range(dst):
+            m[idx[t, d], d] += w[t, d]
+    return m.astype(np.float32)
+
+
 def _apply_taps(img: jnp.ndarray, idx: np.ndarray, w: np.ndarray, axis: int) -> jnp.ndarray:
+    """Apply a tap plan along ``axis``.
+
+    On TPU, gathers are pathologically slow (~100 ms for a full-frame 1080p
+    gather) so the plan is folded into a dense matrix applied on the MXU at
+    full f32 precision. On CPU (tests, eager), gathers are fast and each
+    unique einsum shape costs seconds of compile, so use jnp.take."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        src = img.shape[axis]
+        m = _taps_to_dense(idx, w, int(src))
+        return _apply_dense(img, m.T, axis)
     out = None
     for t in range(idx.shape[0]):
         gathered = jnp.take(img, jnp.asarray(idx[t]), axis=axis)

@@ -4,10 +4,20 @@ pattern SURVEY.md §4 calls for). Must run before jax initializes."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize exports JAX_PLATFORMS=axon and registers its PJRT
+# plugin before conftest runs, so overriding the env var alone is NOT enough
+# (see .claude/skills/verify/SKILL.md). Force the platform through the config
+# API before any backend initializes, and set the virtual device count.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
 import numpy as np
 import pytest
