@@ -230,6 +230,42 @@ def remap_bilinear(
     return out if img.ndim == 3 else out[..., 0]
 
 
+def vertical_remap_static(img: jnp.ndarray, map_y: np.ndarray) -> jnp.ndarray:
+    """Bilinear vertical-only remap with a *static* (H, W) row map, as
+    shifted-row multiply-adds (no gathers). Equivalent to
+    cv2.remap(img, x_identity, map_y, INTER_LINEAR) when map_y stays in
+    bounds (the anableps refraction clips it; anableps.py:223-236).
+
+    Decomposition: iy = floor(map_y), d = iy - y ranges over a small static
+    set; out = sum_d mask_d * ((1-f)*img[y+d] + f*img[y+d+1])."""
+    h = int(img.shape[0])
+    iy = np.floor(map_y).astype(np.int64)
+    frac = (map_y - iy).astype(np.float32)
+    yy = np.arange(h)[:, None]
+    d = iy - yy
+    dmin, dmax = int(d.min()), int(d.max())
+    def shift_rows(x, dd):
+        """Rows shifted by constant dd with edge clamp — slices, no gather."""
+        if dd == 0:
+            return x
+        if dd > 0:
+            tail = jnp.repeat(x[-1:], dd, axis=0)
+            return jnp.concatenate([x[dd:], tail], axis=0)
+        head = jnp.repeat(x[:1], -dd, axis=0)
+        return jnp.concatenate([head, x[:dd]], axis=0)
+
+    out = jnp.zeros_like(img)
+    expand = (...,) + (None,) * (img.ndim - 2)
+    for dd in range(dmin, dmax + 1):
+        mask = d == dd
+        if not mask.any():
+            continue
+        w0 = jnp.asarray((mask * (1.0 - frac)).astype(np.float32))[expand]
+        w1 = jnp.asarray((mask * frac).astype(np.float32))[expand]
+        out = out + shift_rows(img, dd) * w0 + shift_rows(img, dd + 1) * w1
+    return out
+
+
 def center_zoom(img: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Center crop (W/scale, H/scale) then resize back with INTER_LINEAR.
     No-op for scale <= 1. Parity: animals/animal_utils2.py:12-34."""

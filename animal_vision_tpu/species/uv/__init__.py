@@ -18,3 +18,14 @@ register("reindeer", "ReinDeer", _lazy("reindeer", "Reindeer"))
 register("goldfish", "GoldFish", _lazy("goldfish", "Goldfish"))
 register("rat_uv", "RatUV", _lazy("rat_uv", "RatUV"))
 register("damselfish", "DamselFish", _lazy("damselfish", "Damselfish"))
+register("anableps", "Anableps (Four-eyed fish)", _lazy("anableps", "Anableps"))
+register("anchovy", "Northern Anchovy Fish", _lazy("anchovy", "Anchovy"))
+register("guppy", "Guppy Fish", _lazy("guppy", "Guppy"))
+register("morpho", "Morpho Butterfly", _lazy("morpho", "Morpho"))
+register("heliconius", "Heliconius Butterfly", _lazy("heliconius", "Heliconius"))
+register("pieris", "Pieris Butterfly", _lazy("pieris", "Pieris"))
+register("mantis_shrimp", "Mantis Shrimp", _lazy("mantis_shrimp", "MantisShrimp"))
+register("kestrel", "Kestrel", _lazy("kestrel", "Kestrel"))
+register("jumping_spider", "Jumping Spider", _lazy("jumping_spider", "JumpingSpider"))
+register("dragonfly", "DragonFly", _lazy("dragonfly", "Dragonfly"))
+register("hummingbird", "HummingBird", _lazy("hummingbird", "Hummingbird"))

@@ -106,3 +106,56 @@ def test_goldfish_negative_overshoot_regression(psnr_fn):
     _, out = get_animal("goldfish").visualize(img)
     po = psnr_fn(out.astype(np.float64) / 255, out_ref.astype(np.float64) / 255)
     assert po > 40.0, f"goldfish overshoot-regression PSNR {po:.2f} dB"
+
+
+def test_anableps_golden(img_u8, psnr_fn):
+    _check("anableps", oracles_uv.anableps_pipeline, img_u8, psnr_fn)
+
+
+def test_anchovy_golden(img_u8, psnr_fn):
+    _check("anchovy", oracles_uv.anchovy_pipeline, img_u8, psnr_fn)
+
+
+def test_guppy_golden(img_u8, psnr_fn):
+    _check("guppy", oracles_uv.guppy_pipeline, img_u8, psnr_fn)
+
+
+def test_morpho_golden(img_u8, psnr_fn):
+    _check("morpho", oracles_uv.morpho_pipeline, img_u8, psnr_fn)
+
+
+def test_heliconius_golden(img_u8, psnr_fn):
+    _check("heliconius", oracles_uv.heliconius_pipeline, img_u8, psnr_fn)
+
+
+def test_pieris_golden(img_u8, psnr_fn):
+    _check("pieris", oracles_uv.pieris_pipeline, img_u8, psnr_fn)
+
+
+def test_kestrel_golden(img_u8, psnr_fn):
+    _check("kestrel", oracles_uv.kestrel_pipeline, img_u8, psnr_fn)
+
+
+def test_mantis_shrimp_golden(img_u8, psnr_fn):
+    _check("mantis_shrimp", oracles_uv.mantis_shrimp_pipeline, img_u8, psnr_fn)
+
+
+def test_jumping_spider_golden(img_u8, psnr_fn):
+    _check("jumping_spider", oracles_uv.jumping_spider_pipeline, img_u8, psnr_fn)
+
+
+def test_dragonfly_golden(img_u8, psnr_fn):
+    _check("dragonfly", oracles_uv.dragonfly_pipeline, img_u8, psnr_fn)
+
+
+def test_hummingbird_golden(img_u8, psnr_fn):
+    _check("hummingbird", oracles_uv.hummingbird_pipeline, img_u8, psnr_fn)
+
+
+def test_registry_covers_all_36():
+    from animal_vision_tpu.species import NON_UV_NAMES, UV_NAMES, UNIQUE_UV_NAMES, get_animal
+
+    all_names = NON_UV_NAMES + UV_NAMES + UNIQUE_UV_NAMES
+    assert len(all_names) == 36
+    for n in all_names:
+        assert get_animal(n) is not None
