@@ -1,0 +1,300 @@
+"""MST++ (and MST) in Flax — RGB -> 31-band hyperspectral reconstruction.
+
+Parity target: ml/MST_plus_plus/predict_code/architecture/MST_Plus_Plus.py
+(topology at :270-293; spectral-wise C x C attention at :88-139). Published
+quality: MRAE 0.1645 / RMSE 0.0248 / PSNR 34.32 dB on ARAD_1K validation,
+1.62 M params, 23.05 GFLOPs at 256x256 (BASELINE.md).
+
+TPU-first choices:
+- NHWC end to end (the torch code permutes to bhwc internally anyway).
+- The spectral attention contracts over pixels to form a per-head (d x d)
+  Gram matrix — tiny MXU matmuls with n=H*W as the contraction dim; cost is
+  linear in pixels, so full frames need no tiling on TPU.
+- ConvTranspose(k=2, s=2) upsampling is expressed as a 1x1 conv to 4x
+  channels + depth-to-space (exactly equivalent, avoids the transposed-conv
+  layout pitfalls and lowers to one MXU matmul + reshape).
+- GELU is the exact erf form (torch F.gelu default), not jax's tanh approx.
+
+Weight converter: ``convert_torch_state`` maps a reference .pth state_dict
+(flat torch names) onto this module's param pytree; golden tests drive a
+randomly-initialized torch reference through the converter and require
+~1e-5 agreement.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class MSMSA(nn.Module):
+    """Multi-head spectral-wise self-attention (MST_Plus_Plus.py:88-139)."""
+
+    dim: int
+    dim_head: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, C)
+        b, h, w, c = x.shape
+        n = h * w
+        inner = self.dim_head * self.heads
+        xf = x.reshape(b, n, c)
+        q = nn.Dense(inner, use_bias=False, name="to_q")(xf)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(xf)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(xf)
+
+        def heads_first(t):  # (b, n, heads*d) -> (b, heads, d, n)
+            t = t.reshape(b, n, self.heads, self.dim_head)
+            return t.transpose(0, 2, 3, 1)
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        rescale = self.param("rescale", nn.initializers.ones, (self.heads, 1, 1))
+        # attn = K @ Q^T over the pixel dimension: (b, heads, d, d)
+        attn = jnp.einsum("bhdn,bhen->bhde", k, q)
+        attn = attn * rescale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhde,bhen->bhdn", attn, v)  # (b, heads, d, n)
+        out = out.transpose(0, 3, 1, 2).reshape(b, n, inner)
+        out_c = nn.Dense(self.dim, use_bias=True, name="proj")(out).reshape(b, h, w, c)
+
+        v_img = v.transpose(0, 3, 1, 2).reshape(b, n, inner).reshape(b, h, w, inner)
+        p = nn.Conv(
+            self.dim, (3, 3), padding=1, feature_group_count=self.dim,
+            use_bias=False, name="pos_emb_0",
+        )(v_img)
+        p = _gelu(p)
+        p = nn.Conv(
+            self.dim, (3, 3), padding=1, feature_group_count=self.dim,
+            use_bias=False, name="pos_emb_2",
+        )(p)
+        return out_c + p
+
+
+class FeedForward(nn.Module):
+    """1x1 -> GELU -> depthwise 3x3 -> GELU -> 1x1 (MST_Plus_Plus.py:141-158)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.dim * self.mult
+        y = nn.Conv(hidden, (1, 1), use_bias=False, name="net_0")(x)
+        y = _gelu(y)
+        y = nn.Conv(
+            hidden, (3, 3), padding=1, feature_group_count=hidden,
+            use_bias=False, name="net_2",
+        )(y)
+        y = _gelu(y)
+        return nn.Conv(self.dim, (1, 1), use_bias=False, name="net_4")(y)
+
+
+class MSAB(nn.Module):
+    """num_blocks x (attention + residual, prenorm-FFN + residual)."""
+
+    dim: int
+    dim_head: int
+    heads: int
+    num_blocks: int
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        for i in range(self.num_blocks):
+            x = MSMSA(self.dim, self.dim_head, self.heads, name=f"attn_{i}")(x) + x
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)  # torch eps
+            x = FeedForward(self.dim, name=f"ff_{i}")(y) + x
+        return x
+
+
+class MST(nn.Module):
+    """U-shaped spectral transformer stage (MST_Plus_Plus.py:188-268)."""
+
+    in_dim: int = 31
+    out_dim: int = 31
+    dim: int = 31
+    stage: int = 2
+    num_blocks: Sequence[int] = (2, 4, 4)
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        fea = nn.Conv(self.dim, (3, 3), padding=1, use_bias=False, name="embedding")(x)
+
+        skips = []
+        dim_stage = self.dim
+        for i in range(self.stage):
+            fea = MSAB(
+                dim_stage, self.dim, dim_stage // self.dim, self.num_blocks[i],
+                name=f"enc_msab_{i}",
+            )(fea)
+            skips.append(fea)
+            fea = nn.Conv(
+                dim_stage * 2, (4, 4), strides=2, padding=1, use_bias=False,
+                name=f"enc_down_{i}",
+            )(fea)
+            dim_stage *= 2
+
+        fea = MSAB(
+            dim_stage, self.dim, dim_stage // self.dim, self.num_blocks[-1],
+            name="bottleneck",
+        )(fea)
+
+        for i in range(self.stage):
+            # ConvTranspose(k=2, s=2) == 1x1 conv to 4x channels + depth-to-
+            # space. (up_conv kernel layout documented in convert_torch_state.)
+            half = dim_stage // 2
+            up = nn.Conv(half * 4, (1, 1), use_bias=True, name=f"dec_up_{i}")(fea)
+            b, hh, ww, _ = up.shape
+            up = up.reshape(b, hh, ww, 2, 2, half)
+            fea = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * 2, ww * 2, half)
+            fea = nn.Conv(half, (1, 1), use_bias=False, name=f"dec_fuse_{i}")(
+                jnp.concatenate([fea, skips[self.stage - 1 - i]], axis=-1)
+            )
+            fea = MSAB(
+                half, self.dim, half // self.dim, self.num_blocks[self.stage - 1 - i],
+                name=f"dec_msab_{i}",
+            )(fea)
+            dim_stage //= 2
+
+        out = nn.Conv(self.out_dim, (3, 3), padding=1, use_bias=False, name="mapping")(fea)
+        return out + x
+
+
+class MSTPlusPlus(nn.Module):
+    """3 cascaded MST stages with global residual (MST_Plus_Plus.py:270-293)."""
+
+    in_channels: int = 3
+    out_channels: int = 31
+    n_feat: int = 31
+    stage: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # NHWC (B, H, W, 3)
+        b, h_inp, w_inp, _ = x.shape
+        pad_h = (8 - h_inp % 8) % 8
+        pad_w = (8 - w_inp % 8) % 8
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        feat = nn.Conv(self.n_feat, (3, 3), padding=1, use_bias=False, name="conv_in")(x)
+        body = feat
+        for i in range(self.stage):
+            body = MST(
+                dim=31, stage=2, num_blocks=(1, 1, 1), name=f"body_{i}",
+            )(body)
+        out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv_out")(body)
+        out = out + feat
+        return out[:, :h_inp, :w_inp, :]
+
+
+# ---------------------------------------------------------------------------
+# Torch -> Flax weight conversion
+# ---------------------------------------------------------------------------
+
+
+def _conv_w(t):  # torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def _dw_conv_w(t):
+    # torch depthwise (out=C, in/groups=1, kh, kw) -> flax (kh, kw, 1, C)
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def _dense_w(t):  # torch (out, in) -> flax (in, out)
+    return np.transpose(np.asarray(t), (1, 0))
+
+
+def _convtrans_as_conv(tw, tb, half):
+    """torch ConvTranspose2d weight (in, out, 2, 2) -> our 1x1-conv kernel
+    (1, 1, in, 4*out) with the depth-to-space channel order
+    (dy, dx, out) -> channel index (dy*2 + dx)*?? — we lay out as
+    up.reshape(b,h,w,2,2,half): channel = ((dy * 2) + dx) * ... i.e. the
+    last axis is (dy, dx, out) flattened in C order."""
+    tw = np.asarray(tw)  # (in, out, 2, 2)
+    in_c = tw.shape[0]
+    # target (1,1,in, 2*2*half) with flattened (dy, dx, out)
+    k = np.transpose(tw, (0, 2, 3, 1)).reshape(in_c, 4 * half)
+    kernel = k[None, None]
+    bias = np.tile(np.asarray(tb), 4) if tb is not None else None
+    # bias per (dy,dx,out) is the same `out` bias replicated over dy,dx
+    return kernel.astype(np.float32), bias.astype(np.float32)
+
+
+def convert_torch_state(state_dict, stage: int = 3) -> dict:
+    """Map a reference MST++ state_dict (flat torch names) onto the flax
+    param tree of MSTPlusPlus (compile-checked by golden tests)."""
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def msab(prefix, num_blocks):
+        p = {}
+        for i in range(num_blocks):
+            a = f"{prefix}.blocks.{i}.0"
+            p[f"attn_{i}"] = {
+                "to_q": {"kernel": _dense_w(sd[f"{a}.to_q.weight"])},
+                "to_k": {"kernel": _dense_w(sd[f"{a}.to_k.weight"])},
+                "to_v": {"kernel": _dense_w(sd[f"{a}.to_v.weight"])},
+                "rescale": sd[f"{a}.rescale"],
+                "proj": {
+                    "kernel": _dense_w(sd[f"{a}.proj.weight"]),
+                    "bias": sd[f"{a}.proj.bias"],
+                },
+                "pos_emb_0": {"kernel": _dw_conv_w(sd[f"{a}.pos_emb.0.weight"])},
+                "pos_emb_2": {"kernel": _dw_conv_w(sd[f"{a}.pos_emb.2.weight"])},
+            }
+            f = f"{prefix}.blocks.{i}.1"
+            p[f"norm_{i}"] = {
+                "scale": sd[f"{f}.norm.weight"],
+                "bias": sd[f"{f}.norm.bias"],
+            }
+            p[f"ff_{i}"] = {
+                "net_0": {"kernel": _conv_w(sd[f"{f}.fn.net.0.weight"])},
+                "net_2": {"kernel": _dw_conv_w(sd[f"{f}.fn.net.2.weight"])},
+                "net_4": {"kernel": _conv_w(sd[f"{f}.fn.net.4.weight"])},
+            }
+        return p
+
+    def mst(prefix, dim=31, st=2, num_blocks=(1, 1, 1)):
+        p = {"embedding": {"kernel": _conv_w(sd[f"{prefix}.embedding.weight"])}}
+        dim_stage = dim
+        for i in range(st):
+            p[f"enc_msab_{i}"] = msab(f"{prefix}.encoder_layers.{i}.0", num_blocks[i])
+            p[f"enc_down_{i}"] = {
+                "kernel": _conv_w(sd[f"{prefix}.encoder_layers.{i}.1.weight"])
+            }
+            dim_stage *= 2
+        p["bottleneck"] = msab(f"{prefix}.bottleneck", num_blocks[-1])
+        for i in range(st):
+            half = dim_stage // 2
+            kernel, bias = _convtrans_as_conv(
+                sd[f"{prefix}.decoder_layers.{i}.0.weight"],
+                sd.get(f"{prefix}.decoder_layers.{i}.0.bias"),
+                half,
+            )
+            p[f"dec_up_{i}"] = {"kernel": kernel, "bias": bias}
+            p[f"dec_fuse_{i}"] = {
+                "kernel": _conv_w(sd[f"{prefix}.decoder_layers.{i}.1.weight"])
+            }
+            p[f"dec_msab_{i}"] = msab(
+                f"{prefix}.decoder_layers.{i}.2", num_blocks[st - 1 - i]
+            )
+            dim_stage //= 2
+        p["mapping"] = {"kernel": _conv_w(sd[f"{prefix}.mapping.weight"])}
+        return p
+
+    params = {
+        "conv_in": {"kernel": _conv_w(sd["conv_in.weight"])},
+        "conv_out": {"kernel": _conv_w(sd["conv_out.weight"])},
+    }
+    for i in range(stage):
+        params[f"body_{i}"] = mst(f"body.{i}")
+    return {"params": params}

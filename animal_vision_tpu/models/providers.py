@@ -1,0 +1,41 @@
+"""Model-backed HSI providers for the UV species pipelines.
+
+This wires the reference's dead capability: its HoneyBee ctor takes an
+onnx_path to an MST++ exporter but no animal ever invokes the model
+(SURVEY.md §0); the MST++ predictors exist only as offline tools
+(predict_code/predict*.py). Here any UV species can swap the analytic
+upsampler for MST++ inference (BASELINE.json config #4: "MST++ RGB->31-band
+hyperspectral inference + kestrel/mantis-shrimp UV rendering").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+#: the MST++ band grid (31 bands, 400-700 nm — the ARAD_1K convention)
+MST_LAMBDAS = np.linspace(400.0, 700.0, 31, dtype=np.float32)
+
+
+def make_mst_hsi_provider(module=None, variables=None, pretrained_path: str | None = None):
+    """Return a callable (H, W, 3) frame -> (H, W, 31) reflectance cube.
+
+    The cube is clamped to >= 0 (physical reflectance; the reference's
+    analytic path clamps identically, classic_rgb_to_hsi.py:81)."""
+    if module is None:
+        from animal_vision_tpu.models.zoo import model_generator
+
+        module, variables = model_generator("mst_plus_plus", pretrained_path)
+
+    def provider(frame01: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.clip(frame01.astype(jnp.float32), 0.0, 1.0)[None]
+        cube = module.apply(variables, x)[0]
+        return jnp.maximum(cube, 0.0)
+
+    return provider
+
+
+def attach_mst(animal, module=None, variables=None, pretrained_path: str | None = None):
+    """Attach an MST++ HSI provider (and its 31-band grid) to a UV animal."""
+    provider = make_mst_hsi_provider(module, variables, pretrained_path)
+    return animal.use_hsi_provider(provider, lambdas=MST_LAMBDAS)

@@ -1,0 +1,136 @@
+"""MST++ training on TPU meshes.
+
+The reference snapshot ships NO training code (SURVEY.md §5.4 — its README
+documents an absent train_code/). This module supplies it TPU-first so the
+model zoo is trainable end to end: L1/MRAE objective on random crops with
+rot/flip augmentation (the reference eval harness's TrainDataset semantics,
+test_develop_code/hsi_dataset.py:7-67), Adam + cosine decay, and a pjit
+training step sharded dp x sp x tp over a jax.sharding.Mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from animal_vision_tpu.models import metrics
+from animal_vision_tpu.parallel import mesh as pmesh
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    lr: float = 4e-4, total_steps: int = 300_000, warmup: int = 1000
+) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr, warmup_steps=warmup, decay_steps=total_steps
+    )
+    return optax.adam(sched, b1=0.9, b2=0.999)
+
+
+def loss_fn(params, module, batch_rgb, batch_hsi, loss: str = "mrae"):
+    pred = module.apply(params, batch_rgb)
+    if loss == "mrae":
+        # the reference's train objective (MRAE); guard zeros in targets
+        value = jnp.mean(jnp.abs(pred - batch_hsi) / jnp.maximum(batch_hsi, 1e-3))
+    elif loss == "l1":
+        value = jnp.mean(jnp.abs(pred - batch_hsi))
+    else:
+        raise ValueError(loss)
+    return value, pred
+
+
+def make_train_step(module, optimizer, loss: str = "mrae"):
+    """A pure (state, rgb, hsi) -> (state, metrics) step (jit/pjit-able)."""
+
+    def step(state: TrainState, rgb, hsi):
+        (value, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, module, rgb, hsi, loss
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        m = {
+            "loss": value,
+            "rmse": metrics.rmse(pred, hsi),
+            "psnr": metrics.psnr(pred, hsi, data_range=1.0),
+        }
+        return TrainState(params, opt_state, state.step + 1), m
+
+    return step
+
+
+def make_sharded_train_step(mesh: Mesh, module, optimizer, loss: str = "mrae"):
+    """jit the train step over the mesh: activations dp x sp, params (and
+    optimizer moments) tp-sharded per parallel.mesh.param_specs; GSPMD emits
+    the ICI collectives (grad psums over dp/sp, conv halo exchanges over sp)."""
+    step = make_train_step(module, optimizer, loss)
+    act = NamedSharding(mesh, pmesh.activation_spec())
+
+    def place_state(state: TrainState) -> TrainState:
+        pspecs = pmesh.param_specs(state.params)
+        to_sharding = lambda tree: jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), tree, is_leaf=lambda x: isinstance(x, P)
+        )
+        params = jax.device_put(state.params, to_sharding(pspecs))
+        # optimizer moments mirror the param tree; replicate scalars
+        def opt_place(x):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+        opt_state = jax.tree_util.tree_map(opt_place, state.opt_state)
+        stepc = jax.device_put(state.step, NamedSharding(mesh, P()))
+        return TrainState(params, opt_state, stepc)
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(state: TrainState, rgb, hsi):
+        return jitted(state, jax.device_put(rgb, act), jax.device_put(hsi, act))
+
+    return run, place_state
+
+
+def init_state(module, optimizer, sample_shape=(1, 64, 64, 3), seed: int = 0) -> TrainState:
+    variables = module.init(jax.random.PRNGKey(seed), jnp.zeros(sample_shape))
+    opt_state = optimizer.init(variables)
+    return TrainState(variables, opt_state, jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Patch sampling with the reference harness's augmentation semantics
+# ---------------------------------------------------------------------------
+
+
+def sample_patches(
+    rng: np.random.Generator,
+    rgb: np.ndarray,
+    hsi: np.ndarray,
+    patch: int,
+    batch: int,
+):
+    """Random crops + random rot90/flip pairs (TrainDataset's arguement(),
+    test_develop_code/hsi_dataset.py:33-46 behavior)."""
+    h, w = rgb.shape[:2]
+    out_r, out_h = [], []
+    for _ in range(batch):
+        y = int(rng.integers(0, h - patch + 1))
+        x = int(rng.integers(0, w - patch + 1))
+        r = rgb[y : y + patch, x : x + patch]
+        s = hsi[y : y + patch, x : x + patch]
+        k = int(rng.integers(0, 4))
+        r, s = np.rot90(r, k), np.rot90(s, k)
+        if rng.integers(0, 2):
+            r, s = r[::-1], s[::-1]
+        if rng.integers(0, 2):
+            r, s = r[:, ::-1], s[:, ::-1]
+        out_r.append(np.ascontiguousarray(r))
+        out_h.append(np.ascontiguousarray(s))
+    return np.stack(out_r), np.stack(out_h)

@@ -1,0 +1,66 @@
+"""Model registry: name -> (flax module, torch->flax converter).
+
+Parity: predict_code/architecture/__init__.py:13-41 `model_generator` — the
+reference instantiates a torch net and strict-loads a .pth; here we build
+the Flax module and (optionally) convert a torch checkpoint's state_dict.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from animal_vision_tpu.models import mst_plus_plus as _mst
+
+
+_REGISTRY = {
+    "mst_plus_plus": (
+        lambda: _mst.MSTPlusPlus(in_channels=3, out_channels=31, n_feat=31, stage=3),
+        _mst.convert_torch_state,
+    ),
+}
+
+
+def available_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def find_state_dict(obj: Any) -> dict:
+    """Unwrap common checkpoint containers and strip DataParallel's
+    ``module.`` prefix. Parity: predict_code/compile.py:39-68."""
+    sd = obj
+    if isinstance(sd, dict):
+        for key in ("state_dict", "model_state_dict", "net", "model", "params"):
+            if key in sd and isinstance(sd[key], dict):
+                sd = sd[key]
+                break
+    out = {}
+    for k, v in sd.items():
+        out[k[len("module.") :] if k.startswith("module.") else k] = v
+    return out
+
+
+def model_generator(method: str, pretrained_model_path: str | None = None):
+    """Build (module, variables). When ``pretrained_model_path`` is given,
+    loads the torch .pth (CPU) and converts the weights; otherwise returns
+    randomly initialized variables for a 64x64 probe shape."""
+    import jax
+
+    if method not in _REGISTRY:
+        raise ValueError(f"unknown method {method!r}; available: {available_models()}")
+    build, convert = _REGISTRY[method]
+    module = build()
+    if pretrained_model_path:
+        import torch
+
+        ckpt = torch.load(pretrained_model_path, map_location="cpu", weights_only=False)
+        sd = find_state_dict(ckpt)
+        variables = jax.tree_util.tree_map(
+            np.asarray, convert({k: v.numpy() for k, v in sd.items()})
+        )
+    else:
+        import jax.numpy as jnp
+
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return module, variables

@@ -75,17 +75,33 @@ def band_weight_columns(lambdas: np.ndarray, band_specs) -> np.ndarray:
 class UVAnimal(Animal):
     """Base for UV species following the shared skeleton. Subclasses set
     ``lambdas``, ``hsi_scale``, ``panorama_scale``, declare ``_band_specs``
-    (list of (lo, hi) nm pairs) and implement ``_render``."""
+    (list of (lo, hi) nm pairs) and implement ``_render``.
+
+    ``hsi_provider`` (optional) replaces the analytic upsampler with a model
+    — e.g. Flax MST++ via models.providers.make_mst_hsi_provider — wiring
+    the capability the reference left dead (honeybee.py:49,67's unused
+    onnx_path; BASELINE.json config #4). The provider is called with the
+    same frame the analytic converter would receive and must return an
+    (H, W, len(lambdas)) cube on this species' wavelength grid."""
 
     lambdas: np.ndarray = np.linspace(300.0, 700.0, 81, dtype=np.float32)
     hsi_scale: float = 0.25
     panorama_scale: float = 1.0
+    hsi_provider = None
 
     def _band_specs(self) -> list[tuple[float, float]]:
         raise NotImplementedError
 
     def _render(self, baseline_lin: jnp.ndarray, band_maps: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
+
+    def use_hsi_provider(self, provider, lambdas: np.ndarray | None = None) -> "UVAnimal":
+        """Swap in a model-based RGB->HSI provider (and its band grid)."""
+        self.hsi_provider = provider
+        if lambdas is not None:
+            self.lambdas = np.asarray(lambdas)
+        self._programs.clear()
+        return self
 
     def _build_program(self, shape, dtype):
         specs = self._band_specs()
@@ -101,7 +117,13 @@ class UVAnimal(Animal):
             baseline_srgb = color.linear_to_srgb(jnp.clip(baseline_lin, 0.0, 1.0))
             baseline_out = color.from_float01(baseline_srgb, dtype)
 
-            maps = compute_band_maps(baseline_lin, self.lambdas, cols, self.hsi_scale)
+            if self.hsi_provider is not None:
+                cube = self.hsi_provider(baseline_lin)
+                maps = jnp.einsum(
+                    "...b,bn->...n", cube, jnp.asarray(cols), precision="highest"
+                )
+            else:
+                maps = compute_band_maps(baseline_lin, self.lambdas, cols, self.hsi_scale)
             render = self._render(baseline_lin, maps)
             out = color.from_float01(
                 color.linear_to_srgb(jnp.clip(render, 0.0, 1.0)), dtype

@@ -1,0 +1,144 @@
+"""Golden tests: Flax MST++ vs the reference torch implementation.
+
+The reference torch module (predict_code/architecture/MST_Plus_Plus.py) is
+imported directly as the oracle: random-initialize it, convert the weights,
+and require ~1e-4 output agreement. Skipped if the reference tree or torch
+is unavailable."""
+
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/ml/MST_plus_plus/predict_code/architecture"
+
+
+def _load_reference_mst():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mst_plus_plus", f"{REF}/MST_Plus_Plus.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def torch_ref():
+    torch = pytest.importorskip("torch")
+    try:
+        mod = _load_reference_mst()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference torch model unavailable: {e}")
+    torch.manual_seed(0)
+    model = mod.MST_Plus_Plus(in_channels=3, out_channels=31, n_feat=31, stage=3)
+    model.eval()
+    return torch, model
+
+
+def test_flax_matches_torch_reference(torch_ref, psnr_fn):
+    torch, model = torch_ref
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.mst_plus_plus import MSTPlusPlus, convert_torch_state
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    variables = convert_torch_state(sd)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 48, 40, 3)).astype(np.float32)  # non-x8 W pads
+    with torch.no_grad():
+        want = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    want = want.transpose(0, 2, 3, 1)
+
+    flax_model = MSTPlusPlus()
+    got = np.asarray(flax_model.apply(variables, jnp.asarray(x)))
+    assert got.shape == want.shape == (1, 48, 40, 31)
+    diff = np.abs(got - want).max()
+    assert diff < 5e-4, f"max diff {diff}"
+    assert psnr_fn(got, want) > 60.0
+
+
+def test_param_count_matches_published():
+    """MST++ is published at 1.62 M params (BASELINE.md)."""
+    import jax
+
+    from animal_vision_tpu.models.zoo import model_generator
+
+    module, variables = model_generator("mst_plus_plus")
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables))
+    assert 1_500_000 < n < 1_700_000, n
+
+
+def test_find_state_dict_unwraps():
+    from animal_vision_tpu.models.zoo import find_state_dict
+
+    sd = {"module.conv_in.weight": 1}
+    assert find_state_dict({"state_dict": sd}) == {"conv_in.weight": 1}
+
+
+def test_mst_provider_drives_uv_species(img_u8):
+    """BASELINE config #4: MST++ inference feeding kestrel / mantis shrimp."""
+    from animal_vision_tpu.models.providers import attach_mst, MST_LAMBDAS
+    from animal_vision_tpu.models.zoo import model_generator
+    from animal_vision_tpu.species.uv.kestrel import Kestrel
+    from animal_vision_tpu.species.uv.mantis_shrimp import MantisShrimp
+
+    module, variables = model_generator("mst_plus_plus")
+    for cls in (Kestrel, MantisShrimp):
+        animal = attach_mst(cls(), module, variables)
+        assert np.allclose(animal.lambdas, MST_LAMBDAS)
+        base, out = animal.visualize(img_u8)
+        assert out.shape == img_u8.shape and out.dtype == np.uint8
+        assert out.std() > 0  # nontrivial render
+
+
+def test_honeybee_with_mst_provider(img_u8):
+    from animal_vision_tpu.models.providers import make_mst_hsi_provider
+    from animal_vision_tpu.species.uv.honeybee import HoneyBee
+
+    bee = HoneyBee(hsi_provider=make_mst_hsi_provider())
+    _, out = bee.visualize(img_u8)
+    assert out.shape == img_u8.shape and out.dtype == np.uint8
+
+
+def test_train_step_decreases_loss():
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models import train as mtrain
+    from animal_vision_tpu.models.mst_plus_plus import MSTPlusPlus
+
+    module = MSTPlusPlus()
+    opt = mtrain.make_optimizer(lr=1e-3, total_steps=50, warmup=1)
+    state = mtrain.init_state(module, opt, sample_shape=(1, 32, 32, 3))
+    step = mtrain.make_train_step(module, opt)
+    import jax
+
+    step = jax.jit(step)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    hsi = jnp.asarray(rng.uniform(0.05, 1, (2, 32, 32, 31)).astype(np.float32))
+    losses = []
+    for _ in range(5):
+        state, m = step(state, rgb, hsi)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_metrics_match_reference_formulas():
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models import metrics
+
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0.1, 1, (2, 8, 8, 4)).astype(np.float32)
+    b = rng.uniform(0.1, 1, (2, 8, 8, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        float(metrics.mrae(jnp.asarray(a), jnp.asarray(b))),
+        np.mean(np.abs(a - b) / b), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(metrics.rmse(jnp.asarray(a), jnp.asarray(b))),
+        np.sqrt(np.mean((a - b) ** 2)), rtol=1e-5,
+    )
