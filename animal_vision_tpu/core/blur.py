@@ -149,12 +149,30 @@ def gaussian_blur_hw(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return gaussian_blur(img, sigma, sigma, axes=(-1, -2))
 
 
+def _use_pallas_blur(img) -> bool:
+    """Route TPU executions of f32 image blurs to the fused Pallas kernel
+    (one HBM pass vs one pass per tap); CPU keeps the XLA taps (fast eager,
+    used by the parity tests). Traced arrays can't be dispatched on —
+    pipelines jit whole programs, where shapes are concrete."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[-1] > 8):
+        return False
+    return img.shape[0] >= 16 and img.shape[1] >= 16 and img.dtype == jnp.float32
+
+
 def gaussian_blur_uv(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """UV-helper blur: explicit ``k=2*ceil(3*sigma)+1`` kernel, reflect-101.
     Works on (H, W) or (H, W, C). Parity: uv_helpers.py:67-73."""
     if sigma <= 0:
         return img
     k = uv_ksize(sigma)
+    if _use_pallas_blur(img):
+        from animal_vision_tpu.ops.fused_blur import fused_gaussian_blur
+
+        return fused_gaussian_blur(img, float(sigma), ksize=k)
     if img.ndim == 2:
         return gaussian_blur(img, sigma, sigma, ksize=(k, k), axes=(-1, -2))
     return gaussian_blur(img, sigma, sigma, ksize=(k, k), axes=(-2, -3))

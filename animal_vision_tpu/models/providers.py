@@ -17,19 +17,33 @@ import jax.numpy as jnp
 MST_LAMBDAS = np.linspace(400.0, 700.0, 31, dtype=np.float32)
 
 
-def make_mst_hsi_provider(module=None, variables=None, pretrained_path: str | None = None):
+def make_mst_hsi_provider(
+    module=None,
+    variables=None,
+    pretrained_path: str | None = None,
+    dtype=None,
+):
     """Return a callable (H, W, 3) frame -> (H, W, 31) reflectance cube.
 
     The cube is clamped to >= 0 (physical reflectance; the reference's
-    analytic path clamps identically, classic_rgb_to_hsi.py:81)."""
+    analytic path clamps identically, classic_rgb_to_hsi.py:81).
+    ``dtype=jnp.bfloat16`` runs inference in bf16 (params + activations,
+    output cast back to f32) — the model is bandwidth-bound at C=31, so
+    this is ~2x on TPU at negligible quality cost."""
+    import jax
+
     if module is None:
         from animal_vision_tpu.models.zoo import model_generator
 
         module, variables = model_generator("mst_plus_plus", pretrained_path)
+    if dtype is not None:
+        variables = jax.tree_util.tree_map(lambda p: jnp.asarray(p, dtype), variables)
 
     def provider(frame01: jnp.ndarray) -> jnp.ndarray:
         x = jnp.clip(frame01.astype(jnp.float32), 0.0, 1.0)[None]
-        cube = module.apply(variables, x)[0]
+        if dtype is not None:
+            x = x.astype(dtype)
+        cube = module.apply(variables, x)[0].astype(jnp.float32)
         return jnp.maximum(cube, 0.0)
 
     return provider

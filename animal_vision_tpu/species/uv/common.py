@@ -118,10 +118,25 @@ class UVAnimal(Animal):
             baseline_out = color.from_float01(baseline_srgb, dtype)
 
             if self.hsi_provider is not None:
-                cube = self.hsi_provider(baseline_lin)
-                maps = jnp.einsum(
-                    "...b,bn->...n", cube, jnp.asarray(cols), precision="highest"
-                )
+                # Model-based HSI honors the same downsample speed path the
+                # analytic converter uses (every UV species defaults to
+                # hsi_scale 0.25, SURVEY.md §6) — band-integrate at the small
+                # resolution and bilinearly upsample the few band maps.
+                h, w = int(baseline_lin.shape[0]), int(baseline_lin.shape[1])
+                if 0.0 < self.hsi_scale < 1.0:
+                    hs = max(1, int(round(h * self.hsi_scale)))
+                    ws = max(1, int(round(w * self.hsi_scale)))
+                    small = geometry.resize(baseline_lin, (hs, ws), "area")
+                    cube = self.hsi_provider(small)
+                    maps_small = jnp.einsum(
+                        "...b,bn->...n", cube, jnp.asarray(cols), precision="highest"
+                    )
+                    maps = geometry.resize(maps_small, (h, w), "linear")
+                else:
+                    cube = self.hsi_provider(baseline_lin)
+                    maps = jnp.einsum(
+                        "...b,bn->...n", cube, jnp.asarray(cols), precision="highest"
+                    )
             else:
                 maps = compute_band_maps(baseline_lin, self.lambdas, cols, self.hsi_scale)
             render = self._render(baseline_lin, maps)
