@@ -64,10 +64,16 @@ class Animal(abc.ABC):
 
     def visualize_batch(self, images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Batched variant over (N, H, W, 3) frames (one compiled program)."""
+        baseline, out = self.visualize_batch_device(images)
+        return np.asarray(baseline), np.asarray(out)
+
+    def visualize_batch_device(self, images: np.ndarray):
+        """Like visualize_batch but returns device arrays without syncing —
+        the streaming executor uses this so dispatch of batch i overlaps the
+        host-side encode of batch i-1."""
         assert images.ndim == 4 and images.shape[3] == 3, "Input must be NxHxWx3."
         prog = self._program(images.shape[1:], images.dtype, batched=True)
-        baseline, out = prog(jnp.asarray(images))
-        return np.asarray(baseline), np.asarray(out)
+        return prog(jnp.asarray(images))
 
     def transform(self, shape: tuple[int, ...], dtype=np.uint8):
         """The raw jittable (image) -> (baseline, transformed) program for the

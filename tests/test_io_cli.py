@@ -1,0 +1,145 @@
+"""End-to-end tests for renderers, pipeline executor, CLI, service, server."""
+
+import base64
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture()
+def tmp_image(tmp_path, img_u8):
+    p = tmp_path / "in.png"
+    cv2.imwrite(str(p), cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+    return str(p)
+
+
+@pytest.fixture()
+def tmp_video(tmp_path, img_u8):
+    p = tmp_path / "in.mp4"
+    w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 64))
+    for i in range(8):
+        frame = np.roll(img_u8, i * 3, axis=1)
+        w.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    w.release()
+    return str(p)
+
+
+def test_image_renderer_roundtrip(tmp_image, tmp_path, img_u8):
+    from animal_vision_tpu.io import ImageRenderer
+
+    out = str(tmp_path / "out.png")
+    r = ImageRenderer(tmp_image, show_window=False, save_to=out)
+    r.open()
+    img = r.get_image()
+    np.testing.assert_array_equal(img, img_u8)  # png round trip is lossless
+    r.render_split_compare(img, img[::-1].copy())
+    r.close()
+    assert os.path.exists(out)
+    saved = cv2.imread(out)
+    assert saved.shape == (64, 96, 3)
+
+
+def test_video_renderer_and_executor(tmp_video, tmp_path):
+    from animal_vision_tpu.io import VideoRenderer
+    from animal_vision_tpu.pipeline import StreamingExecutor
+    from animal_vision_tpu.species import get_animal
+
+    src = VideoRenderer(tmp_video)
+    src.open()
+    out = str(tmp_path / "out.mp4")
+    sink = VideoRenderer(save_to=out, fps=src.fps, show_window=False)
+    ex = StreamingExecutor(get_animal("dog"), batch=3, split=True)
+    n = ex.run(src.frames(), sink.render)
+    src.close(); sink.close()
+    assert n == 8
+    check = cv2.VideoCapture(out)
+    assert int(check.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
+    check.release()
+
+
+def test_cli_image_noninteractive(tmp_image, tmp_path):
+    from animal_vision_tpu.cli import main
+
+    out = str(tmp_path / "cli_out.png")
+    main(["image", "--input", tmp_image, "--output", out, "--animal", "dog", "--no-show"])
+    assert os.path.exists(out)
+
+
+def test_cli_video_noninteractive(tmp_video, tmp_path):
+    from animal_vision_tpu.cli import main
+
+    out = str(tmp_path / "cli_out.mp4")
+    main(["video", "--input", tmp_video, "--output", out, "--animal", "rat",
+          "--no-show", "--batch", "3"])
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
+    cap.release()
+
+
+def test_cli_gallery(tmp_image, tmp_path, monkeypatch):
+    from animal_vision_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["gallery", "--input", tmp_image, "--group", "nonuv", "--tile-height", "48",
+          "--max-side", "96"])
+    grid = cv2.imread(str(tmp_path / "output" / "gallery_NonUV.png"))
+    assert grid is not None and grid.shape[0] > 48
+
+
+def test_service_processimage(img_u8):
+    from animal_vision_tpu.service import processimage
+
+    ok, buf = cv2.imencode(".jpg", cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+    uri = processimage(buf.tobytes(), "Dog")
+    assert uri.startswith("data:image/jpeg;base64,")
+    decoded = cv2.imdecode(
+        np.frombuffer(base64.b64decode(uri.split(",", 1)[1]), np.uint8), cv2.IMREAD_COLOR
+    )
+    assert decoded.shape == img_u8.shape
+
+
+def test_service_processsplitimage(img_u8):
+    from animal_vision_tpu.service import processsplitimage
+
+    ok, buf = cv2.imencode(".png", cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+    url = "data:image/png;base64," + base64.b64encode(buf.tobytes()).decode()
+    uri = processsplitimage(url, "GoldFish")
+    assert uri.startswith("data:image/png;base64,")
+
+
+def test_service_unknown_animal(img_u8):
+    from animal_vision_tpu.service import processimage
+
+    ok, buf = cv2.imencode(".jpg", img_u8)
+    with pytest.raises(KeyError):
+        processimage(buf.tobytes(), "unicorn")
+
+
+def test_stdlib_server_handler(img_u8):
+    from animal_vision_tpu.server.app import _StdlibHandler
+
+    ok, buf = cv2.imencode(".png", cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+    url = "data:image/png;base64," + base64.b64encode(buf.tobytes()).decode()
+    code, payload = _StdlibHandler.handle(
+        "/getpic", json.dumps({"image": url, "animal": "dog"}).encode()
+    )
+    assert code == 200 and payload["image"].startswith("data:image/png")
+    code, payload = _StdlibHandler.handle("/gettip", json.dumps({"animal": "dog"}).encode())
+    assert code == 200 and payload["tip"] == ""  # disabled parity
+    code, _ = _StdlibHandler.handle("/nope", b"{}")
+    assert code == 404
+
+
+def test_gallery_grid_shapes():
+    from animal_vision_tpu.io.gallery import build_labeled_grid
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (40 + i, 60, 3), dtype=np.uint8).astype(np.uint8) for i in range(5)]
+    grid = build_labeled_grid(list(imgs), [f"a{i}" for i in range(5)], tile_height=32)
+    assert grid.ndim == 3 and grid.shape[2] == 3
