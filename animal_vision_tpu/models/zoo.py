@@ -14,11 +14,52 @@ import numpy as np
 from animal_vision_tpu.models import mst_plus_plus as _mst
 
 
+def _mst_standalone():
+    from animal_vision_tpu.models.mst import MSTModel
+
+    return MSTModel(dim=31, stage=2, num_blocks=(4, 7, 5))
+
+
+def _convert_mst_standalone(sd):
+    from animal_vision_tpu.models.mst import convert_torch_state
+
+    return convert_torch_state(sd)
+
+
+def _hscnn():
+    from animal_vision_tpu.models.simple_nets import HSCNNPlus
+
+    return HSCNNPlus()
+
+
+def _convert_hscnn(sd):
+    from animal_vision_tpu.models.simple_nets import convert_hscnn_state
+
+    return convert_hscnn_state(sd)
+
+
+def _edsr():
+    from animal_vision_tpu.models.simple_nets import EDSR
+
+    return EDSR()
+
+
+def _convert_edsr(sd):
+    from animal_vision_tpu.models.simple_nets import convert_edsr_state
+
+    return convert_edsr_state(sd)
+
+
 _REGISTRY = {
     "mst_plus_plus": (
         lambda: _mst.MSTPlusPlus(in_channels=3, out_channels=31, n_feat=31, stage=3),
         _mst.convert_torch_state,
     ),
+    # 'mst' config parity: MST(dim=31, stage=2, num_blocks=[4,7,5])
+    # (architecture/__init__.py:21-22)
+    "mst": (_mst_standalone, _convert_mst_standalone),
+    "hscnn_plus": (_hscnn, _convert_hscnn),
+    "edsr": (_edsr, _convert_edsr),
 }
 
 

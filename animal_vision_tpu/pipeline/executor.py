@@ -54,18 +54,43 @@ class StreamingExecutor:
         self.right_label = right_label
         self.prefetch = prefetch
 
+    def _make_channel(self, probe: np.ndarray):
+        """Native SPSC ring when built (GIL-free slot passing), else a
+        bounded queue.Queue."""
+        try:
+            from animal_vision_tpu.native import FrameRing, native_available
+
+            if native_available():
+                slot = int(np.prod(probe.shape)) * self.batch * probe.dtype.itemsize
+                ring = FrameRing(slot, n_slots=self.prefetch + 2)
+                return ring.put, ring.get, ring.close
+        except Exception:
+            pass
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+        return q.put, (lambda: (lambda v: None if v is stop else v)(q.get())), (
+            lambda: q.put(stop)
+        )
+
     def run(self, frames: Iterable[np.ndarray], sink: Callable[[np.ndarray], None]) -> int:
         """Pump frames through the device; returns the number processed."""
         src = iter(frames)
-        q_in: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        try:
+            first = next(src)
+        except StopIteration:
+            return 0
+        put, get, close = self._make_channel(first)
+
+        def chained():
+            yield first
+            yield from src
 
         def producer():
             try:
-                for b in _batched(src, self.batch):
-                    q_in.put(b)
+                for b in _batched(chained(), self.batch):
+                    put(b)
             finally:
-                q_in.put(stop)
+                close()
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -73,8 +98,8 @@ class StreamingExecutor:
         n = 0
         pending = None  # (baselines, outs) device arrays in flight
         while True:
-            item = q_in.get()
-            if item is stop:
+            item = get()
+            if item is None:
                 break
             # dispatch current batch (async), then drain the previous one —
             # device compute overlaps host decode/encode. (A short partial

@@ -142,3 +142,63 @@ def test_metrics_match_reference_formulas():
         float(metrics.rmse(jnp.asarray(a), jnp.asarray(b))),
         np.sqrt(np.mean((a - b) ** 2)), rtol=1e-5,
     )
+
+
+def _ref_module(name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(f"ref_{name}", f"{REF}/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize(
+    "ref_file,ref_cls,kwargs,flax_name,atol",
+    [
+        ("HSCNN_Plus", "HSCNN_Plus", dict(num_blocks=4), "hscnn_small", 1e-4),
+        ("edsr", "EDSR", {}, "edsr", 2e-3),
+        ("MST", "MST", dict(dim=31, stage=2, num_blocks=[1, 1, 1]), "mst_small", 1e-3),
+    ],
+)
+def test_zoo_archs_match_torch(ref_file, ref_cls, kwargs, flax_name, atol, psnr_fn):
+    torch = pytest.importorskip("torch")
+    try:
+        mod = _ref_module(ref_file)
+    except Exception as e:
+        pytest.skip(f"reference unavailable: {e}")
+    torch.manual_seed(0)
+    ref = getattr(mod, ref_cls)(**kwargs)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    import jax.numpy as jnp
+
+    if flax_name == "hscnn_small":
+        from animal_vision_tpu.models.simple_nets import HSCNNPlus, convert_hscnn_state
+
+        module, variables = HSCNNPlus(num_blocks=4), convert_hscnn_state(sd)
+    elif flax_name == "edsr":
+        from animal_vision_tpu.models.simple_nets import EDSR, convert_edsr_state
+
+        module, variables = EDSR(), convert_edsr_state(sd)
+    else:
+        from animal_vision_tpu.models.mst import MSTModel, convert_torch_state
+
+        module = MSTModel(dim=31, stage=2, num_blocks=(1, 1, 1))
+        variables = convert_torch_state(sd, stage=2, num_blocks=(1, 1, 1))
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 32, 40, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(module.apply(variables, jnp.asarray(x)))
+    assert got.shape == want.shape
+    diff = np.abs(got - want).max()
+    assert diff < atol, f"{flax_name}: max diff {diff}"
+
+
+def test_zoo_registry_lists_models():
+    from animal_vision_tpu.models.zoo import available_models
+
+    assert set(available_models()) >= {"mst_plus_plus", "mst", "hscnn_plus", "edsr"}
