@@ -362,6 +362,25 @@ def binocular_warp_matrix(
     constant-0 border and the cos^2 blend normalization are all folded in.
     This replaces two full-frame gathers (~100 ms at 1080p on TPU) with one
     matmul (~0.3 ms)."""
+    ml, mr = binocular_warp_matrices(
+        in_w, out_w, fov_in_deg, per_eye_half_fov_deg, overlap_deg, out_h_probe
+    )
+    return ml + mr
+
+
+@functools.lru_cache(maxsize=None)
+def binocular_warp_matrices(
+    in_w: int,
+    out_w: int,
+    fov_in_deg: float,
+    per_eye_half_fov_deg: float,
+    overlap_deg: float,
+    out_h_probe: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-eye (W_in, W_out) warp matrices (blend-normalized). Each eye's
+    matrix is narrowly banded (2 bilinear taps per column), so applying them
+    separately lets the banded-segment MXU path skip the ~half-frame gap
+    between the eyes' source regions."""
     xl, xr, _ymap, w_l, w_r = _binocular_maps(
         (out_h_probe, in_w),
         (out_h_probe, out_w),
@@ -369,9 +388,10 @@ def binocular_warp_matrix(
         per_eye_half_fov_deg,
         overlap_deg,
     )
-    m = np.zeros((in_w, out_w), dtype=np.float64)
     wsum = w_l[0] + w_r[0] + 1e-8
+    out = []
     for eye_x, eye_w in ((xl[0], w_l[0]), (xr[0], w_r[0])):
+        m = np.zeros((in_w, out_w), dtype=np.float64)
         for x in range(out_w):
             wn = float(eye_w[x]) / float(wsum[x])
             if wn == 0.0:
@@ -383,7 +403,8 @@ def binocular_warp_matrix(
                 m[x0, x] += wn * (1.0 - fx)
             if 0 <= x0 + 1 < in_w:
                 m[x0 + 1, x] += wn * fx
-    return m.astype(np.float32)
+        out.append(m.astype(np.float32))
+    return out[0], out[1]
 
 
 def resize_matrix(src: int, dst: int, interp: str = "linear") -> np.ndarray:

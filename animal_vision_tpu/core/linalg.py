@@ -32,14 +32,41 @@ def einsum_3pass(subscripts: str, a: jnp.ndarray, b_hi, b_lo) -> jnp.ndarray:
     return out + jnp.einsum(subscripts, al, bh, preferred_element_type=jnp.float32)
 
 
-def apply_w_matrix(img: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+def _band_segments(m: np.ndarray, seg: int):
+    """Split a (In, Out) column-map matrix with banded support into
+    [(in_start, in_stop, out_start, sub_matrix)] per output segment —
+    resampling matrices (warps, zooms, blurs) have few taps per column, so
+    dense application wastes In/taps x FLOPs."""
+    n_in, n_out = m.shape
+    plan = []
+    for o in range(0, n_out, seg):
+        sub = m[:, o : min(o + seg, n_out)]
+        nz = np.nonzero(np.any(sub != 0, axis=1))[0]
+        if len(nz) == 0:
+            a, b = 0, 1
+        else:
+            a, b = int(nz[0]), int(nz[-1]) + 1
+        plan.append((a, b, o, sub[a:b]))
+    return plan
+
+
+def apply_w_matrix(img: jnp.ndarray, m: np.ndarray, seg: int = 128) -> jnp.ndarray:
     """Contract an (H, W, C) image's W axis with a static (W, W_out) matrix
-    at f32-level accuracy (3 bf16 MXU passes)."""
-    hi, lo = split_bf16_host(np.asarray(m))
-    return einsum_3pass("hwc,wo->hoc", img, hi, lo)
+    at f32-level accuracy (3 bf16 MXU passes), band-segmented: each output
+    column block contracts only against its nonzero input span."""
+    parts = []
+    for a, b, _o, sub in _band_segments(np.asarray(m), seg):
+        hi, lo = split_bf16_host(sub)
+        parts.append(einsum_3pass("hwc,wo->hoc", img[:, a:b, :], hi, lo))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
-def apply_h_matrix(img: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
-    """Contract an (H, W, C) image's H axis with a static (H_out, H) matrix."""
-    hi, lo = split_bf16_host(np.asarray(m))
-    return einsum_3pass("hwc,oh->owc", img, hi, lo)
+def apply_h_matrix(img: jnp.ndarray, m: np.ndarray, seg: int = 128) -> jnp.ndarray:
+    """Contract an (H, W, C) image's H axis with a static (H_out, H) matrix,
+    band-segmented like apply_w_matrix."""
+    mt = np.asarray(m).T  # (H_in, H_out) column map
+    parts = []
+    for a, b, _o, sub in _band_segments(mt, seg):
+        hi, lo = split_bf16_host(sub.T)  # back to (H_out_seg, H_in_span)
+        parts.append(einsum_3pass("hwc,oh->owc", img[a:b], hi, lo))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)

@@ -225,7 +225,7 @@ class Cat(Animal):
         x0, y0 = (w - cw) // 2, (h - ch) // 2
         zoom_rows = geometry.resize_matrix(ch, h).T  # (H_out, ch)
         zoom_cols = geometry.resize_matrix(cw, w)  # (cw, W_out)
-        warp_m = geometry.binocular_warp_matrix(
+        warp_l, warp_r = geometry.binocular_warp_matrices(
             w, w, self.CAMERA_HFOV_DEG, self.PER_EYE_HALF_FOV_DEG, self.OVERLAP_DEG
         )
         merge = tuple(map(tuple, self._merge_matrix()))
@@ -240,10 +240,17 @@ class Cat(Animal):
             else:
                 human = zoomed.astype(dtype)
 
-            # Cat branch from the ORIGINAL frame.
+            # Cat branch from the ORIGINAL frame. Per-eye banded matrices:
+            # applying the combined matrix densely would contract the whole
+            # gap between the eyes' source regions.
             srgb01 = color.normalize_image(image)
             if self.ENABLE_FOV_WARP:
-                srgb01 = jnp.clip(linalg.apply_w_matrix(srgb01, warp_m), 0.0, 1.0)
+                srgb01 = jnp.clip(
+                    linalg.apply_w_matrix(srgb01, warp_l)
+                    + linalg.apply_w_matrix(srgb01, warp_r),
+                    0.0,
+                    1.0,
+                )
 
             if np.dtype(dtype) == np.uint8:
                 from animal_vision_tpu.ops import fused_nonuv as _fused
