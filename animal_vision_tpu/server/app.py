@@ -25,6 +25,52 @@ import os
 from animal_vision_tpu.service import processimage, processsplitimage
 
 
+#: single-file web UI covering the Picture page's flow (ui/src/Picture.tsx:
+#: capture/upload -> POST /getpic -> draw the returned data URI). The
+#: reference's React/Vite PWA also has a Socket.IO video page; the REST
+#: picture flow works against both server variants here.
+UI_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>animal-vision-tpu</title>
+<style>
+ body{font-family:sans-serif;max-width:860px;margin:2rem auto;padding:0 1rem}
+ img{max-width:100%;border:1px solid #ccc;border-radius:6px;margin-top:1rem}
+ select,input,button{font-size:1rem;padding:.4rem;margin-right:.5rem}
+</style></head><body>
+<h2>animal-vision-tpu</h2>
+<p>Pick an image and a species; the server returns a half/half comparison.</p>
+<input type="file" id="file" accept="image/*">
+<select id="animal"></select>
+<button onclick="go()">Transform</button>
+<div id="status"></div><img id="out" hidden>
+<script>
+const ANIMALS = __ANIMALS__;
+const sel = document.getElementById('animal');
+for (const a of ANIMALS) { const o = document.createElement('option'); o.value=a; o.textContent=a; sel.appendChild(o); }
+async function go(){
+  const f = document.getElementById('file').files[0];
+  if(!f){ status.textContent='choose a file first'; return; }
+  const reader = new FileReader();
+  reader.onload = async () => {
+    status.textContent = 'processing…';
+    const resp = await fetch('/getpic', {method:'POST', headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({image: reader.result, animal: sel.value})});
+    const data = await resp.json();
+    if(data.image){ out.src = data.image; out.hidden = false; status.textContent=''; }
+    else { status.textContent = 'error: ' + (data.error || resp.status); }
+  };
+  reader.readAsDataURL(f);
+}
+</script></body></html>"""
+
+
+def ui_page() -> str:
+    import json as _json
+
+    from animal_vision_tpu.species import animal_names
+
+    return UI_HTML.replace("__ANIMALS__", _json.dumps(animal_names()))
+
+
 def gettip(animal: str) -> str:
     """Gemini fact tip. Parity: server/geminiutils.py + server.py:90-93 —
     the reference ships it disabled (returns ""); enabled only when
@@ -60,6 +106,12 @@ def build_asgi_app():
     @api.get("/")
     async def root():
         return "animal-vision-tpu server"
+
+    @api.get("/ui")
+    async def ui():
+        from fastapi.responses import HTMLResponse
+
+        return HTMLResponse(ui_page())
 
     @api.post("/getpic")
     async def getpic(request: Request):
@@ -138,8 +190,14 @@ def run(host: str = "0.0.0.0", port: int = 8000) -> None:
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
-            body = b"animal-vision-tpu server (stdlib fallback)"
+            if self.path.rstrip("/") == "/ui":
+                body = ui_page().encode()
+                ctype = "text/html"
+            else:
+                body = b"animal-vision-tpu server (stdlib fallback)"
+                ctype = "text/plain"
             self.send_response(200)
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -143,3 +143,10 @@ def test_gallery_grid_shapes():
     imgs = [rng.integers(0, 255, (40 + i, 60, 3), dtype=np.uint8).astype(np.uint8) for i in range(5)]
     grid = build_labeled_grid(list(imgs), [f"a{i}" for i in range(5)], tile_height=32)
     assert grid.ndim == 3 and grid.shape[2] == 3
+
+
+def test_ui_page_lists_animals():
+    from animal_vision_tpu.server.app import ui_page
+
+    html = ui_page()
+    assert "mantis_shrimp" in html and "/getpic" in html and "<html" in html
