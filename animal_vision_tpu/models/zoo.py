@@ -50,11 +50,25 @@ def _convert_edsr(sd):
     return convert_edsr_state(sd)
 
 
+def _hinet():
+    from animal_vision_tpu.models.hinet import HINet
+
+    return HINet(depth=4)
+
+
+def _convert_hinet(sd):
+    from animal_vision_tpu.models.hinet import convert_torch_state
+
+    return convert_torch_state(sd)
+
+
 _REGISTRY = {
     "mst_plus_plus": (
         lambda: _mst.MSTPlusPlus(in_channels=3, out_channels=31, n_feat=31, stage=3),
         _mst.convert_torch_state,
     ),
+    # 'hinet' config parity: HINet(depth=4) (architecture/__init__.py:23-24)
+    "hinet": (_hinet, _convert_hinet),
     # 'mst' config parity: MST(dim=31, stage=2, num_blocks=[4,7,5])
     # (architecture/__init__.py:21-22)
     "mst": (_mst_standalone, _convert_mst_standalone),

@@ -159,6 +159,7 @@ def _ref_module(name):
         ("HSCNN_Plus", "HSCNN_Plus", dict(num_blocks=4), "hscnn_small", 1e-4),
         ("edsr", "EDSR", {}, "edsr", 2e-3),
         ("MST", "MST", dict(dim=31, stage=2, num_blocks=[1, 1, 1]), "mst_small", 1e-3),
+        ("hinet", "HINet", dict(depth=4), "hinet", 1e-4),
     ],
 )
 def test_zoo_archs_match_torch(ref_file, ref_cls, kwargs, flax_name, atol, psnr_fn):
@@ -182,6 +183,10 @@ def test_zoo_archs_match_torch(ref_file, ref_cls, kwargs, flax_name, atol, psnr_
         from animal_vision_tpu.models.simple_nets import EDSR, convert_edsr_state
 
         module, variables = EDSR(), convert_edsr_state(sd)
+    elif flax_name == "hinet":
+        from animal_vision_tpu.models.hinet import HINet, convert_torch_state
+
+        module, variables = HINet(depth=4), convert_torch_state(sd)
     else:
         from animal_vision_tpu.models.mst import MSTModel, convert_torch_state
 
@@ -201,4 +206,4 @@ def test_zoo_archs_match_torch(ref_file, ref_cls, kwargs, flax_name, atol, psnr_
 def test_zoo_registry_lists_models():
     from animal_vision_tpu.models.zoo import available_models
 
-    assert set(available_models()) >= {"mst_plus_plus", "mst", "hscnn_plus", "edsr"}
+    assert set(available_models()) >= {"mst_plus_plus", "mst", "hscnn_plus", "edsr", "hinet"}
