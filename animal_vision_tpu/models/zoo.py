@@ -50,6 +50,18 @@ def _convert_edsr(sd):
     return convert_edsr_state(sd)
 
 
+def _awan():
+    from animal_vision_tpu.models.awan import AWAN
+
+    return AWAN(n_drbs=8)
+
+
+def _convert_awan(sd):
+    from animal_vision_tpu.models.awan import convert_torch_state
+
+    return convert_torch_state(sd)
+
+
 def _hinet():
     from animal_vision_tpu.models.hinet import HINet
 
@@ -69,6 +81,8 @@ _REGISTRY = {
     ),
     # 'hinet' config parity: HINet(depth=4) (architecture/__init__.py:23-24)
     "hinet": (_hinet, _convert_hinet),
+    # AWAN lives in the reference's eval-side zoo (test_develop_code)
+    "awan": (_awan, _convert_awan),
     # 'mst' config parity: MST(dim=31, stage=2, num_blocks=[4,7,5])
     # (architecture/__init__.py:21-22)
     "mst": (_mst_standalone, _convert_mst_standalone),

@@ -206,4 +206,33 @@ def test_zoo_archs_match_torch(ref_file, ref_cls, kwargs, flax_name, atol, psnr_
 def test_zoo_registry_lists_models():
     from animal_vision_tpu.models.zoo import available_models
 
-    assert set(available_models()) >= {"mst_plus_plus", "mst", "hscnn_plus", "edsr", "hinet"}
+    assert set(available_models()) >= {"mst_plus_plus", "mst", "hscnn_plus", "edsr", "hinet", "awan"}
+
+
+def test_awan_matches_torch(psnr_fn):
+    torch = pytest.importorskip("torch")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_awan",
+        "/root/reference/ml/MST_plus_plus/test_develop_code/architecture/AWAN.py",
+    )
+    try:
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    except Exception as e:
+        pytest.skip(f"reference unavailable: {e}")
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.awan import AWAN, convert_torch_state
+
+    torch.manual_seed(0)
+    ref = mod.AWAN(n_DRBs=2)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_torch_state(sd, n_drbs=2)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 32, 40, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(AWAN(n_drbs=2).apply(variables, jnp.asarray(x)))
+    assert np.abs(got - want).max() < 1e-4
