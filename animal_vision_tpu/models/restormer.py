@@ -1,0 +1,223 @@
+"""Restormer in Flax.
+
+Parity: predict_code/architecture/Restormer.py — 4-level U-shaped
+transformer: MDTA attention (channel-wise C x C per head with L2-normalized
+q/k and a learnable temperature), GDFN gated-dconv FFN, WithBias LayerNorm
+over channels, pixel-(un)shuffle resizing, dual_pixel_task=True head (skip
+conv from the patch embedding instead of the +input residual).
+Published: MRAE 0.1833 / RMSE 0.0274 / PSNR 33.40 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animal_vision_tpu.models.mst_plus_plus import _conv_w, _dw_conv_w
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class ChanLayerNorm(nn.Module):
+    """WithBias_LayerNorm over the channel dim (eps 1e-5, biased var)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        scale = self.param("weight", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return (x - mu) / jnp.sqrt(var + 1e-5) * scale + bias
+
+
+class MDTA(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        b, h, w, c = x.shape
+        n = h * w
+        qkv = nn.Conv(self.dim * 3, (1, 1), use_bias=False, name="qkv")(x)
+        qkv = nn.Conv(
+            self.dim * 3, (3, 3), padding=1, feature_group_count=self.dim * 3,
+            use_bias=False, name="qkv_dwconv",
+        )(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        ch = self.dim // self.num_heads
+
+        def heads(t):  # (b,h,w,dim) -> (b, heads, ch, n); channel-major split
+            return t.reshape(b, n, self.num_heads, ch).transpose(0, 2, 3, 1)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
+        attn = jnp.einsum("bhcn,bhdn->bhcd", q, k) * temp
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhcd,bhdn->bhcn", attn, v)
+        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, self.dim)
+        return nn.Conv(self.dim, (1, 1), use_bias=False, name="project_out")(out)
+
+
+class GDFN(nn.Module):
+    dim: int
+    expansion: float = 2.66
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.dim * self.expansion)
+        y = nn.Conv(hidden * 2, (1, 1), use_bias=False, name="project_in")(x)
+        y = nn.Conv(
+            hidden * 2, (3, 3), padding=1, feature_group_count=hidden * 2,
+            use_bias=False, name="dwconv",
+        )(y)
+        y1, y2 = jnp.split(y, 2, axis=-1)
+        return nn.Conv(self.dim, (1, 1), use_bias=False, name="project_out")(_gelu(y1) * y2)
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + MDTA(self.dim, self.num_heads, name="attn")(ChanLayerNorm(self.dim, name="norm1")(x))
+        x = x + GDFN(self.dim, name="ffn")(ChanLayerNorm(self.dim, name="norm2")(x))
+        return x
+
+
+def _pixel_unshuffle(x):
+    """NHWC pixel-unshuffle(2) with the reference's grouped-conv channel
+    order: out channel = g*4 + (y*2 + x)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c * 4)
+
+
+def _pixel_shuffle(x):
+    """NHWC torch PixelShuffle(2): in channel c*4 + y*2 + x -> out (c, 2h+y, 2w+x)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, c, 2, 2)
+    return x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * 2, w * 2, c)
+
+
+class Restormer(nn.Module):
+    inp_channels: int = 3
+    out_channels: int = 31
+    dim: int = 48
+    num_blocks: Sequence[int] = (2, 3, 3, 4)
+    num_refinement: int = 3
+    heads: Sequence[int] = (1, 2, 4, 8)
+    dual_pixel_task: bool = True
+
+    def _blocks(self, x, dim, heads, count, prefix):
+        for i in range(count):
+            x = TransformerBlock(dim, heads, name=f"{prefix}_{i}")(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x):  # NHWC (B,H,W,3)
+        b, h_inp, w_inp, _ = x.shape
+        pad_h = (8 - h_inp % 8) % 8
+        pad_w = (8 - w_inp % 8) % 8
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        d = self.dim
+
+        emb = nn.Conv(d, (3, 3), padding=1, use_bias=False, name="patch_embed")(x)
+        enc1 = self._blocks(emb, d, self.heads[0], self.num_blocks[0], "enc1")
+
+        y = _pixel_unshuffle(nn.Conv(d // 2, (3, 3), padding=1, use_bias=False, name="down1_2")(enc1))
+        enc2 = self._blocks(y, d * 2, self.heads[1], self.num_blocks[1], "enc2")
+
+        y = _pixel_unshuffle(nn.Conv(d, (3, 3), padding=1, use_bias=False, name="down2_3")(enc2))
+        enc3 = self._blocks(y, d * 4, self.heads[2], self.num_blocks[2], "enc3")
+
+        y = _pixel_unshuffle(nn.Conv(d * 2, (3, 3), padding=1, use_bias=False, name="down3_4")(enc3))
+        latent = self._blocks(y, d * 8, self.heads[3], self.num_blocks[3], "latent")
+
+        y = _pixel_shuffle(nn.Conv(d * 16, (3, 3), padding=1, use_bias=False, name="up4_3")(latent))
+        y = nn.Conv(d * 4, (1, 1), use_bias=False, name="reduce3")(
+            jnp.concatenate([y, enc3], axis=-1)
+        )
+        dec3 = self._blocks(y, d * 4, self.heads[2], self.num_blocks[2], "dec3")
+
+        y = _pixel_shuffle(nn.Conv(d * 8, (3, 3), padding=1, use_bias=False, name="up3_2")(dec3))
+        y = nn.Conv(d * 2, (1, 1), use_bias=False, name="reduce2")(
+            jnp.concatenate([y, enc2], axis=-1)
+        )
+        dec2 = self._blocks(y, d * 2, self.heads[1], self.num_blocks[1], "dec2")
+
+        y = _pixel_shuffle(nn.Conv(d * 4, (3, 3), padding=1, use_bias=False, name="up2_1")(dec2))
+        y = jnp.concatenate([y, enc1], axis=-1)  # no reduce at level 1
+        dec1 = self._blocks(y, d * 2, self.heads[0], self.num_blocks[0], "dec1")
+        dec1 = self._blocks(dec1, d * 2, self.heads[0], self.num_refinement, "refine")
+
+        if self.dual_pixel_task:
+            dec1 = dec1 + nn.Conv(d * 2, (1, 1), use_bias=False, name="skip_conv")(emb)
+            out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="output")(dec1)
+        else:
+            out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="output")(dec1) + x
+        return out[:, :h_inp, :w_inp, :]
+
+
+def convert_torch_state(
+    state_dict, dim: int = 48, num_blocks=(2, 3, 3, 4), num_refinement: int = 3
+) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def block(tp, i, fp):
+        p = f"{tp}.{i}"
+        return {
+            "norm1": {"weight": sd[f"{p}.norm1.body.weight"], "bias": sd[f"{p}.norm1.body.bias"]},
+            "norm2": {"weight": sd[f"{p}.norm2.body.weight"], "bias": sd[f"{p}.norm2.body.bias"]},
+            "attn": {
+                "temperature": sd[f"{p}.attn.temperature"],
+                "qkv": {"kernel": _conv_w(sd[f"{p}.attn.qkv.weight"])},
+                "qkv_dwconv": {"kernel": _dw_conv_w(sd[f"{p}.attn.qkv_dwconv.weight"])},
+                "project_out": {"kernel": _conv_w(sd[f"{p}.attn.project_out.weight"])},
+            },
+            "ffn": {
+                "project_in": {"kernel": _conv_w(sd[f"{p}.ffn.project_in.weight"])},
+                "dwconv": {"kernel": _dw_conv_w(sd[f"{p}.ffn.dwconv.weight"])},
+                "project_out": {"kernel": _conv_w(sd[f"{p}.ffn.project_out.weight"])},
+            },
+        }
+
+    params = {
+        "patch_embed": {"kernel": _conv_w(sd["patch_embed.proj.weight"])},
+        "down1_2": {"kernel": _conv_w(sd["down1_2.body.0.weight"])},
+        "down2_3": {"kernel": _conv_w(sd["down2_3.body.0.weight"])},
+        "down3_4": {"kernel": _conv_w(sd["down3_4.body.0.weight"])},
+        "up4_3": {"kernel": _conv_w(sd["up4_3.body.0.weight"])},
+        "up3_2": {"kernel": _conv_w(sd["up3_2.body.0.weight"])},
+        "up2_1": {"kernel": _conv_w(sd["up2_1.body.0.weight"])},
+        "reduce3": {"kernel": _conv_w(sd["reduce_chan_level3.weight"])},
+        "reduce2": {"kernel": _conv_w(sd["reduce_chan_level2.weight"])},
+        "output": {"kernel": _conv_w(sd["output.weight"])},
+    }
+    if "skip_conv.weight" in sd:
+        params["skip_conv"] = {"kernel": _conv_w(sd["skip_conv.weight"])}
+    stages = [
+        ("enc1", "encoder_level1", num_blocks[0]),
+        ("enc2", "encoder_level2", num_blocks[1]),
+        ("enc3", "encoder_level3", num_blocks[2]),
+        ("latent", "latent", num_blocks[3]),
+        ("dec3", "decoder_level3", num_blocks[2]),
+        ("dec2", "decoder_level2", num_blocks[1]),
+        ("dec1", "decoder_level1", num_blocks[0]),
+        ("refine", "refinement", num_refinement),
+    ]
+    for fp, tp, count in stages:
+        for i in range(count):
+            params[f"{fp}_{i}"] = block(tp, i, fp)
+    return {"params": params}

@@ -50,6 +50,18 @@ def _convert_edsr(sd):
     return convert_edsr_state(sd)
 
 
+def _restormer():
+    from animal_vision_tpu.models.restormer import Restormer
+
+    return Restormer()
+
+
+def _convert_restormer(sd):
+    from animal_vision_tpu.models.restormer import convert_torch_state
+
+    return convert_torch_state(sd)
+
+
 def _awan():
     from animal_vision_tpu.models.awan import AWAN
 
@@ -83,6 +95,7 @@ _REGISTRY = {
     "hinet": (_hinet, _convert_hinet),
     # AWAN lives in the reference's eval-side zoo (test_develop_code)
     "awan": (_awan, _convert_awan),
+    "restormer": (_restormer, _convert_restormer),
     # 'mst' config parity: MST(dim=31, stage=2, num_blocks=[4,7,5])
     # (architecture/__init__.py:21-22)
     "mst": (_mst_standalone, _convert_mst_standalone),

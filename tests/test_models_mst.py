@@ -206,7 +206,7 @@ def test_zoo_archs_match_torch(ref_file, ref_cls, kwargs, flax_name, atol, psnr_
 def test_zoo_registry_lists_models():
     from animal_vision_tpu.models.zoo import available_models
 
-    assert set(available_models()) >= {"mst_plus_plus", "mst", "hscnn_plus", "edsr", "hinet", "awan"}
+    assert set(available_models()) >= {"mst_plus_plus", "mst", "hscnn_plus", "edsr", "hinet", "awan", "restormer"}
 
 
 def test_awan_matches_torch(psnr_fn):
@@ -235,4 +235,27 @@ def test_awan_matches_torch(psnr_fn):
     with torch.no_grad():
         want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     got = np.asarray(AWAN(n_drbs=2).apply(variables, jnp.asarray(x)))
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_restormer_matches_torch():
+    torch = pytest.importorskip("torch")
+    try:
+        mod = _ref_module("Restormer")
+    except Exception as e:
+        pytest.skip(f"reference unavailable: {e}")
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.restormer import Restormer, convert_torch_state
+
+    torch.manual_seed(0)
+    ref = mod.Restormer(num_blocks=[1, 1, 1, 1], num_refinement_blocks=1)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_torch_state(sd, num_blocks=(1, 1, 1, 1), num_refinement=1)
+    mine = Restormer(num_blocks=(1, 1, 1, 1), num_refinement=1)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 32, 40, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(mine.apply(variables, jnp.asarray(x)))
     assert np.abs(got - want).max() < 1e-4
