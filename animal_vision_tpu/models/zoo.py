@@ -74,6 +74,18 @@ def _convert_awan(sd):
     return convert_torch_state(sd)
 
 
+def _mprnet():
+    from animal_vision_tpu.models.mprnet import MPRNet
+
+    return MPRNet(num_cab=4)
+
+
+def _convert_mprnet(sd):
+    from animal_vision_tpu.models.mprnet import convert_torch_state
+
+    return convert_torch_state(sd)
+
+
 def _hinet():
     from animal_vision_tpu.models.hinet import HINet
 
@@ -96,6 +108,8 @@ _REGISTRY = {
     # AWAN lives in the reference's eval-side zoo (test_develop_code)
     "awan": (_awan, _convert_awan),
     "restormer": (_restormer, _convert_restormer),
+    # 'mprnet' config parity: MPRNet(num_cab=4) (architecture/__init__.py:22-23)
+    "mprnet": (_mprnet, _convert_mprnet),
     # 'mst' config parity: MST(dim=31, stage=2, num_blocks=[4,7,5])
     # (architecture/__init__.py:21-22)
     "mst": (_mst_standalone, _convert_mst_standalone),

@@ -238,6 +238,29 @@ def test_awan_matches_torch(psnr_fn):
     assert np.abs(got - want).max() < 1e-4
 
 
+def test_mprnet_matches_torch():
+    torch = pytest.importorskip("torch")
+    try:
+        mod = _ref_module("MPRNet")
+    except Exception as e:
+        pytest.skip(f"reference unavailable: {e}")
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.mprnet import MPRNet, convert_torch_state
+
+    torch.manual_seed(0)
+    ref = mod.MPRNet(num_cab=2)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_torch_state(sd, num_cab=2)
+    mine = MPRNet(num_cab=2)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 32, 40, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(mine.apply(variables, jnp.asarray(x)))
+    assert np.abs(got - want).max() < 1e-4
+
+
 def test_restormer_matches_torch():
     torch = pytest.importorskip("torch")
     try:
