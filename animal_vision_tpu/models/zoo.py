@@ -74,6 +74,42 @@ def _convert_awan(sd):
     return convert_torch_state(sd)
 
 
+def _mirnet():
+    from animal_vision_tpu.models.mirnet import MIRNet
+
+    return MIRNet(n_rrg=3, n_msrb=1, height=3, width=1)
+
+
+def _convert_mirnet(sd):
+    from animal_vision_tpu.models.mirnet import convert_torch_state
+
+    return convert_torch_state(sd)
+
+
+def _hrnet():
+    from animal_vision_tpu.models.sgn import SGN
+
+    return SGN()
+
+
+def _convert_hrnet(sd):
+    from animal_vision_tpu.models.sgn import convert_torch_state
+
+    return convert_torch_state(sd)
+
+
+def _hdnet():
+    from animal_vision_tpu.models.hdnet import HDNet
+
+    return HDNet()
+
+
+def _convert_hdnet(sd):
+    from animal_vision_tpu.models.hdnet import convert_torch_state
+
+    return convert_torch_state(sd)
+
+
 def _mprnet():
     from animal_vision_tpu.models.mprnet import MPRNet
 
@@ -110,6 +146,13 @@ _REGISTRY = {
     "restormer": (_restormer, _convert_restormer),
     # 'mprnet' config parity: MPRNet(num_cab=4) (architecture/__init__.py:22-23)
     "mprnet": (_mprnet, _convert_mprnet),
+    # 'hdnet' config parity: HDNet() (architecture/__init__.py:28-29)
+    "hdnet": (_hdnet, _convert_hdnet),
+    # 'mirnet' config parity: MIRNet(n_RRG=3, n_MSRB=1, height=3, width=1)
+    # (architecture/__init__.py:14-15)
+    "mirnet": (_mirnet, _convert_mirnet),
+    # 'hrnet' config parity: SGN() (architecture/__init__.py:30-31)
+    "hrnet": (_hrnet, _convert_hrnet),
     # 'mst' config parity: MST(dim=31, stage=2, num_blocks=[4,7,5])
     # (architecture/__init__.py:21-22)
     "mst": (_mst_standalone, _convert_mst_standalone),

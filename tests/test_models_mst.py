@@ -206,7 +206,10 @@ def test_zoo_archs_match_torch(ref_file, ref_cls, kwargs, flax_name, atol, psnr_
 def test_zoo_registry_lists_models():
     from animal_vision_tpu.models.zoo import available_models
 
-    assert set(available_models()) >= {"mst_plus_plus", "mst", "hscnn_plus", "edsr", "hinet", "awan", "restormer"}
+    assert set(available_models()) >= {
+        "mst_plus_plus", "mst", "hscnn_plus", "edsr", "hinet", "awan",
+        "restormer", "mprnet", "hdnet", "mirnet", "hrnet",
+    }
 
 
 def test_awan_matches_torch(psnr_fn):
@@ -235,6 +238,78 @@ def test_awan_matches_torch(psnr_fn):
     with torch.no_grad():
         want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     got = np.asarray(AWAN(n_drbs=2).apply(variables, jnp.asarray(x)))
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_sgn_matches_torch():
+    torch = pytest.importorskip("torch")
+    try:
+        mod = _ref_module("hrnet")
+    except Exception as e:
+        pytest.skip(f"reference unavailable: {e}")
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.sgn import SGN, convert_torch_state
+
+    torch.manual_seed(0)
+    ref = mod.SGN()
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_torch_state(sd)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 32, 40, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(SGN().apply(variables, jnp.asarray(x)))
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_mirnet_matches_torch():
+    torch = pytest.importorskip("torch")
+    try:
+        mod = _ref_module("MIRNet")
+    except Exception as e:
+        pytest.skip(f"reference unavailable: {e}")
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.mirnet import MIRNet, convert_torch_state
+
+    torch.manual_seed(0)
+    ref = mod.MIRNet(n_RRG=3, n_MSRB=1, height=3, width=1)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_torch_state(sd)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 32, 40, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(MIRNet().apply(variables, jnp.asarray(x)))
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_hdnet_matches_torch():
+    torch = pytest.importorskip("torch")
+    try:
+        mod = _ref_module("HDNet")
+    except Exception as e:
+        pytest.skip(f"reference unavailable: {e}")
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.hdnet import HDNet, convert_torch_state
+
+    torch.manual_seed(0)
+    ref = mod.HDNet()
+    ref.eval()
+    # randomize BN running stats so the inference-BN conversion is exercised
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_torch_state(sd)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 16, 20, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(HDNet().apply(variables, jnp.asarray(x)))
     assert np.abs(got - want).max() < 1e-4
 
 
