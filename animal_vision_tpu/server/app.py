@@ -22,30 +22,84 @@ import collections
 import json
 import os
 
-from animal_vision_tpu.service import processimage, processsplitimage
+from animal_vision_tpu.service import processframe, processimage, processsplitimage
 
 
-#: single-file web UI covering the Picture page's flow (ui/src/Picture.tsx:
-#: capture/upload -> POST /getpic -> draw the returned data URI). The
-#: reference's React/Vite PWA also has a Socket.IO video page; the REST
-#: picture flow works against both server variants here.
+#: single-file web UI mirroring the reference PWA's three routes
+#: (ui/src/App.tsx:11-17 Home/Video/Picture). Picture: capture/upload ->
+#: POST /getpic -> draw the returned split URI (Picture.tsx:87-113).
+#: Video: getUserMedia -> hidden-canvas JPEG capture every 200 ms
+#: (Video.tsx:129-135) -> WebSocket /ws when available, else POST
+#: /getframe -> draw; species buttons + a 10 s /gettip poll
+#: (Video.tsx:137-152). No build step, no CDN deps (zero-egress friendly).
 UI_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>animal-vision-tpu</title>
+<meta name="viewport" content="width=device-width, initial-scale=1">
 <style>
- body{font-family:sans-serif;max-width:860px;margin:2rem auto;padding:0 1rem}
- img{max-width:100%;border:1px solid #ccc;border-radius:6px;margin-top:1rem}
+ body{font-family:sans-serif;max-width:900px;margin:1rem auto;padding:0 1rem}
+ nav button{font-size:1rem;padding:.45rem .9rem;margin-right:.4rem;border:1px solid #888;
+   border-radius:6px;background:#f4f4f4;cursor:pointer}
+ nav button.on{background:#2b6;color:#fff;border-color:#2b6}
+ img,video,canvas{max-width:100%;border:1px solid #ccc;border-radius:6px;margin-top:.6rem}
  select,input,button{font-size:1rem;padding:.4rem;margin-right:.5rem}
+ #animals button{margin:.15rem;padding:.3rem .6rem;border-radius:12px;border:1px solid #aaa;
+   background:#fafafa;cursor:pointer}
+ #animals button.on{background:#26a;color:#fff;border-color:#26a}
+ .page{display:none}.page.on{display:block}
+ #tip{color:#555;font-style:italic;min-height:1.2em}
 </style></head><body>
 <h2>animal-vision-tpu</h2>
-<p>Pick an image and a species; the server returns a half/half comparison.</p>
-<input type="file" id="file" accept="image/*">
-<select id="animal"></select>
-<button onclick="go()">Transform</button>
-<div id="status"></div><img id="out" hidden>
+<nav>
+ <button id="nav-home" class="on" onclick="show('home')">Home</button>
+ <button id="nav-video" onclick="show('video')">Video</button>
+ <button id="nav-picture" onclick="show('picture')">Picture</button>
+</nav>
+
+<div id="page-home" class="page on">
+ <p>See the world through another species' eyes — 36 animals, running on TPU.</p>
+ <p><b>Video</b> streams your camera live through the selected species.
+    <b>Picture</b> transforms a single photo into a half/half comparison.</p>
+</div>
+
+<div id="page-video" class="page">
+ <div id="animals"></div>
+ <button id="cam" onclick="toggleCam()">Start camera</button>
+ <span id="vstatus"></span>
+ <div id="tip"></div>
+ <video id="vid" autoplay playsinline muted hidden></video>
+ <img id="vout" hidden>
+ <canvas id="grab" hidden></canvas>
+</div>
+
+<div id="page-picture" class="page">
+ <p>Pick an image and a species; the server returns a half/half comparison.</p>
+ <input type="file" id="file" accept="image/*">
+ <select id="animal"></select>
+ <button onclick="go()">Transform</button>
+ <div id="status"></div><img id="out" hidden>
+</div>
+
 <script>
 const ANIMALS = __ANIMALS__;
+let current = ANIMALS[0], running = false, ws = null, timer = null;
+
+function show(p){
+  for (const q of ['home','video','picture']){
+    document.getElementById('page-'+q).classList.toggle('on', q===p);
+    document.getElementById('nav-'+q).classList.toggle('on', q===p);
+  }
+}
 const sel = document.getElementById('animal');
-for (const a of ANIMALS) { const o = document.createElement('option'); o.value=a; o.textContent=a; sel.appendChild(o); }
+const row = document.getElementById('animals');
+for (const a of ANIMALS) {
+  const o = document.createElement('option'); o.value=a; o.textContent=a; sel.appendChild(o);
+  const b = document.createElement('button'); b.textContent=a;
+  if (a===current) b.classList.add('on');
+  b.onclick = () => { current=a;
+    for (const x of row.children) x.classList.toggle('on', x.textContent===a);
+    pollTip(); };
+  row.appendChild(b);
+}
 async function go(){
   const f = document.getElementById('file').files[0];
   if(!f){ status.textContent='choose a file first'; return; }
@@ -59,6 +113,73 @@ async function go(){
     else { status.textContent = 'error: ' + (data.error || resp.status); }
   };
   reader.readAsDataURL(f);
+}
+async function pollTip(){
+  try{
+    const r = await fetch('/gettip', {method:'POST', headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({animal: current})});
+    const d = await r.json();
+    document.getElementById('tip').textContent = d.tip || '';
+  }catch(e){}
+}
+setInterval(()=>{ if(running) pollTip(); }, 10000);
+
+function grabFrame(){
+  const v = document.getElementById('vid'), c = document.getElementById('grab');
+  if (!v.videoWidth) return null;
+  c.width = v.videoWidth; c.height = v.videoHeight;
+  c.getContext('2d').drawImage(v, 0, 0);
+  return c.toDataURL('image/jpeg', 0.8);
+}
+let inflight = false;
+async function tick(){
+  if (!running || inflight) return;
+  const uri = grabFrame();
+  if (!uri) return;
+  inflight = true;
+  if (ws && ws.readyState === 1) {
+    ws.send(JSON.stringify({image: uri, animal: current}));
+  } else {
+    try {
+      const r = await fetch('/getframe', {method:'POST', headers:{'Content-Type':'application/json'},
+        body: JSON.stringify({image: uri, animal: current})});
+      const d = await r.json();
+      if (d.image) { vout.src = d.image; vout.hidden = false; }
+    } catch(e) {}
+    inflight = false;
+  }
+}
+async function toggleCam(){
+  if (running) {
+    running = false;
+    clearInterval(timer);
+    if (ws) { ws.close(); ws = null; }
+    const v = document.getElementById('vid');
+    if (v.srcObject) for (const t of v.srcObject.getTracks()) t.stop();
+    v.hidden = true; vout.hidden = true;
+    document.getElementById('cam').textContent = 'Start camera';
+    vstatus.textContent = '';
+    return;
+  }
+  try {
+    const stream = await navigator.mediaDevices.getUserMedia(
+      {video: {facingMode: 'environment'}, audio: false});
+    const v = document.getElementById('vid');
+    v.srcObject = stream; v.hidden = false;
+    running = true;
+    document.getElementById('cam').textContent = 'Stop camera';
+    try {
+      ws = new WebSocket((location.protocol==='https:'?'wss://':'ws://') + location.host + '/ws');
+      ws.onmessage = (ev) => { const d = JSON.parse(ev.data);
+        if (d.image) { vout.src = d.image; vout.hidden = false; } inflight = false; };
+      ws.onerror = () => { ws = null; };
+      ws.onclose = () => { ws = null; inflight = false; };
+    } catch(e) { ws = null; }
+    timer = setInterval(tick, 200);
+    pollTip();
+  } catch(e) {
+    vstatus.textContent = 'camera unavailable: ' + e;
+  }
 }
 </script></body></html>"""
 
@@ -94,7 +215,7 @@ def gettip(animal: str) -> str:
 def build_asgi_app():
     """FastAPI + python-socketio app (requires those packages)."""
     import socketio
-    from fastapi import FastAPI, Request
+    from fastapi import FastAPI, Request, WebSocket
 
     api = FastAPI()
     sio = socketio.AsyncServer(async_mode="asgi", cors_allowed_origins="*")
@@ -119,10 +240,34 @@ def build_asgi_app():
         uri = processsplitimage(data["image"], data["animal"])
         return {"image": uri}
 
+    @api.post("/getframe")
+    async def getframe(request: Request):
+        data = await request.json()
+        return {"image": processframe(data["image"], data["animal"])}
+
     @api.post("/gettip")
     async def tip(request: Request):
         data = await request.json()
         return {"tip": gettip(data.get("animal", ""))}
+
+    @api.websocket("/ws")
+    async def ws_stream(websocket: WebSocket):
+        """Live-video stream: JSON {image: dataURI, animal} in, {image} out.
+        The built-in UI prefers this; the reference PWA's Socket.IO
+        `sendimage` surface (below) stays for its clients."""
+        from fastapi import WebSocketDisconnect
+
+        await websocket.accept()
+        try:
+            while True:
+                data = await websocket.receive_json()
+                try:
+                    uri = processframe(data["image"], data["animal"])
+                    await websocket.send_json({"image": uri})
+                except Exception as e:
+                    await websocket.send_json({"error": str(e)})
+        except WebSocketDisconnect:
+            pass
 
     async def drain():
         while True:
@@ -168,6 +313,8 @@ class _StdlibHandler:
         data = json.loads(body or b"{}")
         if path == "/getpic":
             return 200, {"image": processsplitimage(data["image"], data["animal"])}
+        if path == "/getframe":
+            return 200, {"image": processframe(data["image"], data["animal"])}
         if path == "/gettip":
             return 200, {"tip": gettip(data.get("animal", ""))}
         return 404, {"error": "not found"}

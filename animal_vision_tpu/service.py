@@ -77,6 +77,14 @@ def processsplitimage(image_data_url: str, animal: str, assume_bgr: bool = True)
     return _encode_data_uri(split, ".png")
 
 
+def processframe(image_data_url: str, animal: str, assume_bgr: bool = True) -> str:
+    """Data-URL -> full transformed frame as a data URI (the live-video
+    flow: ui/src/Video.tsx sends a JPEG frame every 200 ms and draws the
+    returned image; server-side this is utils.py processimage semantics)."""
+    payload = image_data_url.split(",", 1)[1] if "," in image_data_url else image_data_url
+    return processimage(base64.b64decode(payload), animal, assume_bgr=assume_bgr)
+
+
 def animal_choices() -> list[dict]:
     """Menu entries (display name + slug), mirroring utils.py:91-130."""
     from animal_vision_tpu.species import display_name

@@ -150,3 +150,16 @@ def test_ui_page_lists_animals():
 
     html = ui_page()
     assert "mantis_shrimp" in html and "/getpic" in html and "<html" in html
+    # the live-video flow (reference ui/src/Video.tsx) is in the page too
+    assert "/getframe" in html and "getUserMedia" in html and "/ws" in html
+
+
+def test_stdlib_server_getframe(img_u8):
+    from animal_vision_tpu.server.app import _StdlibHandler
+
+    ok, buf = cv2.imencode(".jpg", cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+    url = "data:image/jpeg;base64," + base64.b64encode(buf.tobytes()).decode()
+    code, payload = _StdlibHandler.handle(
+        "/getframe", json.dumps({"image": url, "animal": "lion"}).encode()
+    )
+    assert code == 200 and payload["image"].startswith("data:image/jpeg")
