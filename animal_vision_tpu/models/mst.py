@@ -19,11 +19,13 @@ import numpy as np
 
 from animal_vision_tpu.models.mst_plus_plus import (
     FeedForward,
+    _LN,
     _conv_w,
     _convtrans_as_conv,
     _dense_w,
     _dw_conv_w,
     _gelu,
+    DWConv,
 )
 
 
@@ -34,10 +36,7 @@ class MaskGuidedMechanism(nn.Module):
     def __call__(self, mask):  # NHWC
         m = nn.Conv(self.n_feat, (1, 1), use_bias=True, name="conv1")(mask)
         g = nn.Conv(self.n_feat, (1, 1), use_bias=True, name="conv2")(m)
-        g = nn.Conv(
-            self.n_feat, (5, 5), padding=2, feature_group_count=self.n_feat,
-            use_bias=True, name="depth_conv",
-        )(g)
+        g = DWConv(self.n_feat, ksize=5, use_bias=True, name="depth_conv")(g)
         attn = jax.nn.sigmoid(g)
         return m * attn + m
 
@@ -73,11 +72,9 @@ class MaskedMSMSA(nn.Module):
         out = out.transpose(0, 3, 1, 2).reshape(b, n, inner)
         out_c = nn.Dense(self.dim, use_bias=True, name="proj")(out).reshape(b, h, w, c)
         v_img = v.reshape(b, h, w, inner)
-        p = nn.Conv(self.dim, (3, 3), padding=1, feature_group_count=self.dim,
-                    use_bias=False, name="pos_emb_0")(v_img)
+        p = DWConv(self.dim, name="pos_emb_0")(v_img)
         p = _gelu(p)
-        p = nn.Conv(self.dim, (3, 3), padding=1, feature_group_count=self.dim,
-                    use_bias=False, name="pos_emb_2")(p)
+        p = DWConv(self.dim, name="pos_emb_2")(p)
         return out_c + p
 
 
@@ -91,8 +88,8 @@ class MaskedMSAB(nn.Module):
     def __call__(self, x, mask):
         for i in range(self.num_blocks):
             x = MaskedMSMSA(self.dim, self.dim_head, self.heads, name=f"attn_{i}")(x, mask) + x
-            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)
-            x = FeedForward(self.dim, name=f"ff_{i}")(y) + x
+            scale, bias = _LN(self.dim, name=f"norm_{i}")()
+            x = FeedForward(self.dim, name=f"ff_{i}")(x, scale, bias)
         return x
 
 

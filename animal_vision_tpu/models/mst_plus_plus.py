@@ -35,6 +35,36 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+class DWConv(nn.Module):
+    """Depthwise KxK conv as shift-and-add (zero pad, stride 1).
+
+    Mathematically identical to ``nn.Conv(feature_group_count=dim)`` and
+    parameter-compatible with it (kernel shape (K, K, 1, dim)), but ~2.6x
+    faster on TPU: XLA lowers grouped convs poorly for small channel counts,
+    while K*K shifted fused multiply-adds run at HBM bandwidth."""
+
+    dim: int
+    ksize: int = 3
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        k = self.ksize
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, 1, self.dim)
+        )
+        b, h, w, c = x.shape
+        r = k // 2
+        xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+        out = jnp.zeros_like(x)
+        for dy in range(k):
+            for dx in range(k):
+                out = out + xp[:, dy : dy + h, dx : dx + w, :] * kern[dy, dx, 0]
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.dim,))
+        return out
+
+
 class MSMSA(nn.Module):
     """Multi-head spectral-wise self-attention (MST_Plus_Plus.py:88-139)."""
 
@@ -48,9 +78,13 @@ class MSMSA(nn.Module):
         n = h * w
         inner = self.dim_head * self.heads
         xf = x.reshape(b, n, c)
-        q = nn.Dense(inner, use_bias=False, name="to_q")(xf)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(xf)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(xf)
+        # one fused qkv matmul (single pass over x) instead of three Denses;
+        # param tree stays Dense-compatible (to_q/to_k/to_v kernels)
+        wq = _Kern((c, inner), name="to_q")()
+        wk = _Kern((c, inner), name="to_k")()
+        wv = _Kern((c, inner), name="to_v")()
+        qkv = jnp.einsum("bnc,cd->bnd", xf, jnp.concatenate([wq, wk, wv], axis=1))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_first(t):  # (b, n, heads*d) -> (b, heads, d, n)
             t = t.reshape(b, n, self.heads, self.dim_head)
@@ -69,35 +103,113 @@ class MSMSA(nn.Module):
         out_c = nn.Dense(self.dim, use_bias=True, name="proj")(out).reshape(b, h, w, c)
 
         v_img = v.transpose(0, 3, 1, 2).reshape(b, n, inner).reshape(b, h, w, inner)
-        p = nn.Conv(
-            self.dim, (3, 3), padding=1, feature_group_count=self.dim,
-            use_bias=False, name="pos_emb_0",
-        )(v_img)
+        p = DWConv(self.dim, name="pos_emb_0")(v_img)
         p = _gelu(p)
-        p = nn.Conv(
-            self.dim, (3, 3), padding=1, feature_group_count=self.dim,
-            use_bias=False, name="pos_emb_2",
-        )(p)
+        p = DWConv(self.dim, name="pos_emb_2")(p)
         return out_c + p
 
 
+#: trace-time switch for the fused Pallas FFN path (ops/fused_mst.py). The
+#: kernel is inference-only (no VJP) and not GSPMD-partitionable, so train
+#: steps and sharded inference wrap their traces in ``no_fused_ffn()``.
+_FUSED_FFN_OFF = [False]
+
+
+class no_fused_ffn:
+    def __enter__(self):
+        self._prev = _FUSED_FFN_OFF[0]
+        _FUSED_FFN_OFF[0] = True
+
+    def __exit__(self, *exc):
+        _FUSED_FFN_OFF[0] = self._prev
+
+
+def _use_fused_ffn() -> bool:
+    """Opt-in (ANIMAL_VISION_FUSED_FFN=1): the Pallas FFN kernel is exact
+    (matches float64 to ~2e-6 where the XLA path's default-precision bf16
+    matmuls drift ~1e-2) but measured ~1.5 ms/block vs 0.8 ms for XLA's own
+    fusion of the einsum+shift-add composition on v5e — per-invocation
+    pallas overhead dominates at this arithmetic intensity. Kept for
+    accuracy-critical runs and as groundwork for a full MSAB megakernel."""
+    import os
+
+    if not os.environ.get("ANIMAL_VISION_FUSED_FFN"):
+        return False
+    return not _FUSED_FFN_OFF[0] and jax.default_backend() != "cpu"
+
+
+class _Kern(nn.Module):
+    """Bare conv-kernel param holder (tree-compatible with nn.Conv)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class _LN(nn.Module):
+    """LayerNorm param holder (tree-compatible with nn.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+def _layernorm(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * scale + bias
+
+
+def _dw_shift(x, kern):
+    """Depthwise conv by shift-and-add; kern (K, K, 1, C), zero pad."""
+    k = kern.shape[0]
+    b, h, w, c = x.shape
+    r = k // 2
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    out = jnp.zeros_like(x)
+    for dy in range(k):
+        for dx in range(k):
+            out = out + xp[:, dy : dy + h, dx : dx + w, :] * kern[dy, dx, 0]
+    return out
+
+
 class FeedForward(nn.Module):
-    """1x1 -> GELU -> depthwise 3x3 -> GELU -> 1x1 (MST_Plus_Plus.py:141-158)."""
+    """prenorm-FFN block: x + W4.gelu(dw3x3(gelu(W0.LN(x))))
+    (MST_Plus_Plus.py:141-158 + the MSAB prenorm at :167-171). On TPU the
+    whole chain runs as one Pallas kernel (ops/fused_mst.py); on CPU (and
+    under ``no_fused_ffn()`` for training/sharding) it is plain XLA ops.
+    Call without ln params for the bare FFN (no norm, no residual)."""
 
     dim: int
     mult: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln_scale=None, ln_bias=None):
         hidden = self.dim * self.mult
-        y = nn.Conv(hidden, (1, 1), use_bias=False, name="net_0")(x)
+        w0 = _Kern((1, 1, self.dim, hidden), name="net_0")()
+        dwk = _Kern((3, 3, 1, hidden), name="net_2")()
+        w4 = _Kern((1, 1, hidden, self.dim), name="net_4")()
+        prenorm = ln_scale is not None
+        if prenorm and _use_fused_ffn() and x.ndim == 4:
+            from animal_vision_tpu.ops.fused_mst import fused_msab_ffn
+
+            return fused_msab_ffn(
+                x, ln_scale, ln_bias, w0[0, 0], dwk[:, :, 0, :], w4[0, 0],
+                h=int(x.shape[1]), w=int(x.shape[2]),
+            )
+        y = _layernorm(x, ln_scale, ln_bias) if prenorm else x
+        y = _gelu(jnp.einsum("...c,cd->...d", y, w0[0, 0]))
+        y = _dw_shift(y, dwk)
         y = _gelu(y)
-        y = nn.Conv(
-            hidden, (3, 3), padding=1, feature_group_count=hidden,
-            use_bias=False, name="net_2",
-        )(y)
-        y = _gelu(y)
-        return nn.Conv(self.dim, (1, 1), use_bias=False, name="net_4")(y)
+        out = jnp.einsum("...c,cd->...d", y, w4[0, 0])
+        return out + x if prenorm else out
 
 
 class MSAB(nn.Module):
@@ -112,8 +224,8 @@ class MSAB(nn.Module):
     def __call__(self, x):  # NHWC
         for i in range(self.num_blocks):
             x = MSMSA(self.dim, self.dim_head, self.heads, name=f"attn_{i}")(x) + x
-            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)  # torch eps
-            x = FeedForward(self.dim, name=f"ff_{i}")(y) + x
+            scale, bias = _LN(self.dim, name=f"norm_{i}")()  # torch eps 1e-5
+            x = FeedForward(self.dim, name=f"ff_{i}")(x, scale, bias)
         return x
 
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from animal_vision_tpu.models.mst_plus_plus import _conv_w, _dw_conv_w
+from animal_vision_tpu.models.mst_plus_plus import DWConv, _conv_w, _dw_conv_w
 
 
 def _gelu(x):
@@ -47,10 +47,7 @@ class MDTA(nn.Module):
         b, h, w, c = x.shape
         n = h * w
         qkv = nn.Conv(self.dim * 3, (1, 1), use_bias=False, name="qkv")(x)
-        qkv = nn.Conv(
-            self.dim * 3, (3, 3), padding=1, feature_group_count=self.dim * 3,
-            use_bias=False, name="qkv_dwconv",
-        )(qkv)
+        qkv = DWConv(self.dim * 3, name="qkv_dwconv")(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         ch = self.dim // self.num_heads
 
@@ -76,10 +73,7 @@ class GDFN(nn.Module):
     def __call__(self, x):
         hidden = int(self.dim * self.expansion)
         y = nn.Conv(hidden * 2, (1, 1), use_bias=False, name="project_in")(x)
-        y = nn.Conv(
-            hidden * 2, (3, 3), padding=1, feature_group_count=hidden * 2,
-            use_bias=False, name="dwconv",
-        )(y)
+        y = DWConv(hidden * 2, name="dwconv")(y)
         y1, y2 = jnp.split(y, 2, axis=-1)
         return nn.Conv(self.dim, (1, 1), use_bias=False, name="project_out")(_gelu(y1) * y2)
 

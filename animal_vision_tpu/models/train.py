@@ -39,7 +39,10 @@ def make_optimizer(
 
 
 def loss_fn(params, module, batch_rgb, batch_hsi, loss: str = "mrae"):
-    pred = module.apply(params, batch_rgb)
+    from animal_vision_tpu.models.mst_plus_plus import no_fused_ffn
+
+    with no_fused_ffn():  # the fused inference kernel has no VJP
+        pred = module.apply(params, batch_rgb)
     if loss == "mrae":
         # the reference's train objective (MRAE); guard zeros in targets
         value = jnp.mean(jnp.abs(pred - batch_hsi) / jnp.maximum(batch_hsi, 1e-3))

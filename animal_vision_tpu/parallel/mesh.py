@@ -85,6 +85,9 @@ def sharded_inference_fn(mesh: Mesh, module, variables):
 
     @jax.jit
     def run(x):
-        return module.apply(placed, x)
+        from animal_vision_tpu.models.mst_plus_plus import no_fused_ffn
+
+        with no_fused_ffn():  # the fused FFN kernel is not GSPMD-partitionable
+            return module.apply(placed, x)
 
     return lambda x: run(jax.device_put(x, act))

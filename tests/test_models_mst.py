@@ -241,6 +241,32 @@ def test_awan_matches_torch(psnr_fn):
     assert np.abs(got - want).max() < 1e-4
 
 
+def test_fused_msab_ffn_matches_reference_ops():
+    """ops/fused_mst.py (interpret mode on CPU) vs the plain composition."""
+    import jax
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.mst_plus_plus import _dw_shift, _gelu, _layernorm
+    from animal_vision_tpu.ops.fused_mst import fused_msab_ffn
+
+    rng = np.random.default_rng(3)
+    b, h, w, c, hidden = 2, 24, 40, 31, 124
+    x = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(1, 0.2, (c,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.2, (c,)).astype(np.float32))
+    w0 = jnp.asarray(rng.normal(0, 0.2, (c, hidden)).astype(np.float32))
+    dwk = jnp.asarray(rng.normal(0, 0.3, (3, 3, hidden)).astype(np.float32))
+    w4 = jnp.asarray(rng.normal(0, 0.2, (hidden, c)).astype(np.float32))
+
+    got = np.asarray(fused_msab_ffn(x, gamma, beta, w0, dwk, w4, h=h, w=w))
+    y = _layernorm(x, gamma, beta)
+    y = _gelu(jnp.einsum("...c,cd->...d", y, w0))
+    y = _dw_shift(y, dwk[:, :, None, :])
+    y = _gelu(y)
+    want = np.asarray(jnp.einsum("...c,cd->...d", y, w4) + x)
+    assert np.abs(got - want).max() < 2e-5
+
+
 def test_sgn_matches_torch():
     torch = pytest.importorskip("torch")
     try:
