@@ -22,9 +22,12 @@ def make_mst_hsi_provider(
     variables=None,
     pretrained_path: str | None = None,
     dtype=None,
+    method: str = "mst_plus_plus",
 ):
     """Return a callable (H, W, 3) frame -> (H, W, 31) reflectance cube.
 
+    ``method`` picks any zoo architecture (predict_code supports every
+    registry method as the RGB->HSI reconstructor; architecture/__init__.py).
     The cube is clamped to >= 0 (physical reflectance; the reference's
     analytic path clamps identically, classic_rgb_to_hsi.py:81).
     ``dtype=jnp.bfloat16`` runs inference in bf16 (params + activations,
@@ -35,7 +38,7 @@ def make_mst_hsi_provider(
     if module is None:
         from animal_vision_tpu.models.zoo import model_generator
 
-        module, variables = model_generator("mst_plus_plus", pretrained_path)
+        module, variables = model_generator(method, pretrained_path)
     if dtype is not None:
         variables = jax.tree_util.tree_map(lambda p: jnp.asarray(p, dtype), variables)
 
@@ -52,4 +55,14 @@ def make_mst_hsi_provider(
 def attach_mst(animal, module=None, variables=None, pretrained_path: str | None = None):
     """Attach an MST++ HSI provider (and its 31-band grid) to a UV animal."""
     provider = make_mst_hsi_provider(module, variables, pretrained_path)
+    return animal.use_hsi_provider(provider, lambdas=MST_LAMBDAS)
+
+
+def attach_model(animal, method: str, pretrained_path: str | None = None, dtype=None):
+    """Attach any zoo architecture as a UV animal's HSI provider
+    (e.g. ``attach_model(Kestrel(), "restormer")``). All zoo methods emit
+    the same 31-band 400-700 nm grid."""
+    provider = make_mst_hsi_provider(
+        pretrained_path=pretrained_path, dtype=dtype, method=method
+    )
     return animal.use_hsi_provider(provider, lambdas=MST_LAMBDAS)

@@ -94,6 +94,17 @@ def test_mst_provider_drives_uv_species(img_u8):
         assert out.std() > 0  # nontrivial render
 
 
+def test_attach_model_any_architecture(img_u8):
+    """Any zoo method can drive a UV species (predict_code method parity)."""
+    from animal_vision_tpu.models.providers import attach_model
+    from animal_vision_tpu.species.uv.goldfish import Goldfish
+
+    animal = attach_model(Goldfish(), "hscnn_plus")
+    _, out = animal.visualize(img_u8)
+    assert out.shape == img_u8.shape and out.dtype == np.uint8
+    assert out.std() > 0
+
+
 def test_honeybee_with_mst_provider(img_u8):
     from animal_vision_tpu.models.providers import make_mst_hsi_provider
     from animal_vision_tpu.species.uv.honeybee import HoneyBee
