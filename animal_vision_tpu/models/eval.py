@@ -59,15 +59,32 @@ def load_rgb_minmax(path: str) -> np.ndarray:
     return rgb
 
 
-def validate(apply_fn, scenes: list[tuple[np.ndarray, np.ndarray]], crop: int = 128):
+def validate(
+    apply_fn,
+    scenes: list[tuple[np.ndarray, np.ndarray]],
+    crop: int = 128,
+    awan_protocol: bool = False,
+):
     """Average MRAE/RMSE/PSNR of ``apply_fn(rgb)->cube`` over (rgb, gt)
-    scenes with the reference's center-crop protocol."""
+    scenes with the reference's center-crop protocol. ``awan_protocol``
+    reproduces test.py:56-60: the INPUT is pre-cropped [118:-118] (memory
+    workaround) and the output loses a further [10:-10], comparing against
+    target[128:-128] — the same region as everyone else."""
     import jax.numpy as jnp
 
     from animal_vision_tpu.models import metrics
 
     sums = {"mrae": 0.0, "rmse": 0.0, "psnr": 0.0}
     for rgb, gt in scenes:
+        if awan_protocol and min(rgb.shape[:2]) > 2 * crop:
+            pred = np.asarray(apply_fn(rgb[118:-118, 118:-118]))
+            p = pred[10:-10, 10:-10]
+            g = gt[crop:-crop, crop:-crop]
+            pj, gj = jnp.asarray(p[None]), jnp.asarray(g[None])
+            sums["mrae"] += float(metrics.mrae(pj, gj))
+            sums["rmse"] += float(metrics.rmse(pj, gj))
+            sums["psnr"] += float(metrics.psnr(pj, gj, data_range=255.0))
+            continue
         pred = np.asarray(apply_fn(rgb))
         p = pred[crop:-crop, crop:-crop] if min(pred.shape[:2]) > 2 * crop else pred
         g = gt[crop:-crop, crop:-crop] if min(gt.shape[:2]) > 2 * crop else gt
@@ -114,7 +131,7 @@ def main(argv=None) -> None:
         return out
 
     scenes = list(iter_dataset(args.data_root, args.split_txt))
-    result = validate(apply_fn, scenes)
+    result = validate(apply_fn, scenes, awan_protocol=(args.method == "awan"))
     print(
         f"{args.method}: MRAE {result['mrae']:.4f}  RMSE {result['rmse']:.4f}  "
         f"PSNR {result['psnr']:.2f} dB over {len(scenes)} scenes"

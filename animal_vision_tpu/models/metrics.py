@@ -21,9 +21,11 @@ def rmse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 255.0) -> jnp.ndarray:
-    """Reference Loss_PSNR semantics: per-image mean over (C,H,W) of MSE on
-    values scaled to [0, data_range], then 10*log10(dr^2/mse), averaged."""
-    p = pred * data_range
-    t = target * data_range
+    """Reference Loss_PSNR semantics: clamp both to [0,1], scale to
+    [0, data_range], per-image mean over (C,H,W) of MSE, then
+    10*log10(dr^2/mse), averaged (utils.py:47-61 clamps im_true and
+    im_fake before .mul_(data_range))."""
+    p = jnp.clip(pred, 0.0, 1.0) * data_range
+    t = jnp.clip(target, 0.0, 1.0) * data_range
     mse = jnp.mean((p - t) ** 2, axis=tuple(range(1, pred.ndim)))
     return jnp.mean(10.0 * jnp.log10((data_range**2) / mse))

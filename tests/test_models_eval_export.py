@@ -42,6 +42,79 @@ def test_validate_known_error():
     assert abs(res["rmse"] - 0.05) < 1e-5
 
 
+def test_validate_awan_protocol():
+    """test.py:56-60 — AWAN compares pred[10:-10] of a [118:-118]-cropped
+    input against target[128:-128]; a perfect predictor scores zero."""
+    from animal_vision_tpu.models.eval import validate
+
+    rng = np.random.default_rng(2)
+    gt = rng.uniform(0.1, 1, (300, 300, 31)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (300, 300, 3)).astype(np.float32)
+
+    def apply_fn(r):
+        assert r.shape == (64, 64, 3)  # 300 - 2*118
+        return gt[118:-118, 118:-118]
+
+    res = validate(apply_fn, [(rgb, gt)], crop=128, awan_protocol=True)
+    assert res["mrae"] == 0.0 and res["rmse"] == 0.0
+
+
+def test_dataset_patch_grid_and_augment(tmp_path):
+    """hsi_dataset.py parity: strided patch lattice, min-max RGB, inclusive
+    rotTimes, Train_* folder layout for both splits."""
+    h5py = pytest.importorskip("h5py")
+    cv2 = pytest.importorskip("cv2")
+    from animal_vision_tpu.models import data as mdata
+    from animal_vision_tpu.models.eval import save_mat_cube
+
+    root = tmp_path
+    (root / "split_txt").mkdir()
+    (root / "Train_RGB").mkdir()
+    (root / "Train_Spec").mkdir()
+    rng = np.random.default_rng(0)
+    for stem in ("scene_a", "scene_b"):
+        img = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "Train_RGB" / f"{stem}.jpg"), img)
+        save_mat_cube(str(root / "Train_Spec" / f"{stem}.mat"),
+                      rng.uniform(0, 1, (40, 48, 31)).astype(np.float32))
+    (root / "split_txt" / "train_list.txt").write_text("scene_b\nscene_a\n")
+
+    scenes = [s for _, s in mdata.iter_scenes(str(root), "train")]
+    assert len(scenes) == 2
+    assert 0.0 <= scenes[0].rgb.min() and scenes[0].rgb.max() <= 1.0
+
+    # grid count parity: per_line=(W-crop)//stride+1, per_col likewise
+    origins = list(mdata.patch_grid(40, 48, crop=16, stride=8))
+    assert len(origins) == ((48 - 16) // 8 + 1) * ((40 - 16) // 8 + 1)
+
+    batches = list(mdata.patch_batches(scenes, crop=16, stride=8, batch=4, seed=0))
+    assert batches, "expected at least one batch"
+    rb, hb = batches[0]
+    assert rb.shape == (4, 16, 16, 3) and hb.shape == (4, 16, 16, 31)
+
+    # augmentation applies IDENTICAL geometry to rgb and cube: find the
+    # (rot, vflip, hflip) that maps r->ra and check it also maps s->sa
+    r = np.arange(16 * 16 * 3, dtype=np.float32).reshape(16, 16, 3)
+    s = np.arange(16 * 16 * 2, dtype=np.float32).reshape(16, 16, 2)
+    for seed in range(8):
+        ra, sa = mdata.augment(r, s, np.random.default_rng(seed))
+        found = False
+        for k in range(4):
+            for vf in (False, True):
+                for hf in (False, True):
+                    def tf(a):
+                        a = np.rot90(a, k)
+                        if vf:
+                            a = a[:, ::-1]
+                        if hf:
+                            a = a[::-1]
+                        return a
+                    if np.array_equal(tf(r), ra):
+                        assert np.array_equal(tf(s), sa)
+                        found = True
+        assert found
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
 
