@@ -115,6 +115,52 @@ def test_dataset_patch_grid_and_augment(tmp_path):
         assert found
 
 
+def test_forward_ensemble_semantics():
+    """predict_code/test.py:52-80 — identity model must return the input
+    exactly for both modes (all 8 inverse transforms must be exact), and
+    the even-count median must pick the LOWER middle like torch.median."""
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.ensemble import forward_ensemble
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 6, 8, 3)).astype(np.float32))
+    for mode in ("mean", "median"):
+        out = forward_ensemble(lambda t: t, x, mode)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-7)
+
+    # biased model: adds a per-view marker via a global scalar; median of
+    # eight values k=0..7 must be the 4th smallest (index 3), like torch
+    calls = {"n": 0}
+
+    def biased(t):
+        calls["n"] += 1
+        return t + float(calls["n"])
+
+    out = forward_ensemble(biased, x, "median")
+    want = np.asarray(x) + 4.0  # sorted biases 1..8 -> lower middle = 4
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+
+def test_predict_image_ensemble(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from animal_vision_tpu.models.ensemble import predict_image
+
+    p = str(tmp_path / "demo.jpg")
+    cv2.imwrite(p, np.random.default_rng(0).integers(0, 255, (32, 40, 3), dtype=np.uint8))
+    cube = predict_image(p, method="hscnn_plus", outf=str(tmp_path / "out"))
+    assert cube.shape == (32, 40, 31)
+    assert (tmp_path / "out" / "demo.mat").exists()
+    assert cube.min() >= 0.0 and cube.max() <= 1.0
+
+
+def test_model_summary():
+    from animal_vision_tpu.models.summary import summarize
+
+    s = summarize("mst_plus_plus", h=64, w=64)
+    assert abs(s["params"] - 1_625_248) < 20_000  # ~1.62 M (BASELINE.md)
+    assert s["flops"] > 1e8 or not np.isfinite(s["flops"])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
 
