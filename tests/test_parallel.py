@@ -30,6 +30,54 @@ def test_sharded_inference_matches_single_device():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_pipeline_parallel_matches_sequential():
+    """GPipe pp schedule over the MST stages == plain MST++ forward."""
+    from animal_vision_tpu.models.zoo import model_generator
+    from animal_vision_tpu.parallel.pipeline import make_pp_mesh, mst_plus_plus_pp_forward
+
+    module, variables = model_generator("mst_plus_plus")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+    want = np.asarray(module.apply(variables, x))
+
+    mesh = make_pp_mesh(4)  # 3 MST stages + 1 identity slot
+    got = np.asarray(mst_plus_plus_pp_forward(module, variables, mesh, x, n_micro=4))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pipeline_generic_schedule():
+    """Toy 2-stage pipeline: out = (x*2)+3 for every microbatch."""
+    from animal_vision_tpu.parallel.pipeline import make_pp_mesh, pipeline_apply
+
+    mesh = make_pp_mesh(2)
+    stacked = {"a": jnp.asarray([2.0, 1.0]), "b": jnp.asarray([0.0, 3.0])}
+    flags = np.asarray([1.0, 1.0], np.float32)
+    micro = jnp.asarray(np.random.default_rng(0).normal(0, 1, (5, 3, 4)).astype(np.float32))
+
+    def stage(p, t):
+        return t * p["a"] + p["b"]
+
+    out = pipeline_apply(stage, stacked, flags, micro, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(micro) * 2.0 + 3.0, atol=1e-6)
+
+
+def test_fleet_renders_species_across_devices():
+    from animal_vision_tpu.parallel.fleet import assign_devices, render_fleet
+    from animal_vision_tpu.species import get_animal
+
+    names = ["dog", "pig", "rat", "lion"]
+    placement = assign_devices(names)
+    assert len({str(d) for d in placement.values()}) == min(4, len(jax.devices()))
+
+    frame = np.random.default_rng(0).integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    outs = render_fleet(frame, names)
+    for name in names:
+        base, out = outs[name]
+        assert out.shape == frame.shape and out.dtype == np.uint8
+        ref = get_animal(name).visualize(frame)[1]
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
