@@ -23,6 +23,7 @@ def make_mst_hsi_provider(
     pretrained_path: str | None = None,
     dtype=None,
     method: str = "mst_plus_plus",
+    precision: str | None = None,
 ):
     """Return a callable (H, W, 3) frame -> (H, W, 31) reflectance cube.
 
@@ -32,7 +33,10 @@ def make_mst_hsi_provider(
     analytic path clamps identically, classic_rgb_to_hsi.py:81).
     ``dtype=jnp.bfloat16`` runs inference in bf16 (params + activations,
     output cast back to f32) — the model is bandwidth-bound at C=31, so
-    this is ~2x on TPU at negligible quality cost."""
+    this is ~2x on TPU at negligible quality cost.
+    ``precision="float32"`` forces exact MXU matmuls: ~130 dB agreement
+    with the f32 CPU reference instead of the default bf16 passes' ~51 dB,
+    at ~1.6x the latency (PARITY.md, "TPU matmul precision")."""
     import jax
 
     if module is None:
@@ -46,7 +50,11 @@ def make_mst_hsi_provider(
         x = jnp.clip(frame01.astype(jnp.float32), 0.0, 1.0)[None]
         if dtype is not None:
             x = x.astype(dtype)
-        cube = module.apply(variables, x)[0].astype(jnp.float32)
+        if precision is not None:
+            with jax.default_matmul_precision(precision):
+                cube = module.apply(variables, x)[0].astype(jnp.float32)
+        else:
+            cube = module.apply(variables, x)[0].astype(jnp.float32)
         return jnp.maximum(cube, 0.0)
 
     return provider
