@@ -95,7 +95,10 @@ def patch_batches(
     order = np.arange(len(index))
     if shuffle:
         rng.shuffle(order)
-    for start in range(0, len(order) - batch + 1, batch):
+    # the final partial batch is yielded too (smaller leading dim), so one
+    # epoch really covers the full strided grid; callers that need a fixed
+    # batch shape for jit can drop or pad it themselves
+    for start in range(0, len(order), batch):
         rs, hs = [], []
         for oi in order[start : start + batch]:
             si, y, x = index[oi]

@@ -38,12 +38,29 @@ def load_mat_cube(path: str, key: str = "cube") -> np.ndarray:
 
 
 def save_mat_cube(path: str, cube: np.ndarray, key: str = "cube") -> None:
-    """Save (H, W, B) as MATLAB v7.3 (the reference saves outputs this way,
-    test.py:80-85)."""
+    """Save (H, W, B) as a MATLAB-v7.3-readable file (the reference saves
+    outputs via hdf5storage's save_matv73, test.py:80-85).
+
+    MATLAB v7.3 is HDF5 plus (a) a 512-byte userblock whose bytes 124-127
+    are the version/endian marker ``\\x00\\x02IM`` and (b) a per-dataset
+    ``MATLAB_class`` attribute; both are written here so MATLAB's ``load``
+    accepts the file (plain h5py output without them is rejected)."""
     import h5py
 
-    with h5py.File(path, "w") as f:
-        f.create_dataset(key, data=np.transpose(cube, (2, 1, 0)))
+    data = np.transpose(cube, (2, 1, 0))
+    mat_class = {"float32": b"single", "float64": b"double"}.get(
+        str(data.dtype), b"double"
+    )
+    with h5py.File(path, "w", userblock_size=512) as f:
+        ds = f.create_dataset(key, data=data)
+        ds.attrs.create("MATLAB_class", np.bytes_(mat_class))
+    header = (
+        b"MATLAB 7.3 MAT-file, Platform: posix, "
+        b"Created by: animal_vision_tpu "
+        b"HDF5 schema 1.00 ."
+    )[:116].ljust(116) + b" " * 8 + b"\x00\x02IM"
+    with open(path, "r+b") as f:
+        f.write(header.ljust(512, b"\x00"))
 
 
 def load_rgb_minmax(path: str) -> np.ndarray:
@@ -97,6 +114,7 @@ def validate(
 
 
 def iter_dataset(data_root: str, split_txt: str | None = None):
+    """Yield (name, rgb, gt) per validation scene (ARAD layout)."""
     rgb_dir = os.path.join(data_root, "Valid_RGB")
     spec_dir = os.path.join(data_root, "Valid_Spec")
     if split_txt and os.path.exists(split_txt):
@@ -106,7 +124,7 @@ def iter_dataset(data_root: str, split_txt: str | None = None):
     for name in names:
         rgb = load_rgb_minmax(os.path.join(rgb_dir, name + ".jpg"))
         gt = load_mat_cube(os.path.join(spec_dir, name + ".mat"))
-        yield rgb, gt
+        yield name, rgb, gt
 
 
 def main(argv=None) -> None:
@@ -125,12 +143,17 @@ def main(argv=None) -> None:
     module, variables = model_generator(args.method, args.ckpt)
 
     def apply_fn(rgb):
-        out = module.apply(variables, jnp.asarray(rgb)[None])[0]
-        if args.save_dir:
-            os.makedirs(args.save_dir, exist_ok=True)
-        return out
+        return module.apply(variables, jnp.asarray(rgb)[None])[0]
 
-    scenes = list(iter_dataset(args.data_root, args.split_txt))
+    named = list(iter_dataset(args.data_root, args.split_txt))
+    if args.save_dir:
+        # test.py:80-85 parity: every per-scene prediction cube is saved as
+        # a MATLAB-v7.3 .mat, clipped to [0, 1].
+        os.makedirs(args.save_dir, exist_ok=True)
+        for name, rgb, _ in named:
+            pred = np.clip(np.asarray(apply_fn(rgb), dtype=np.float32), 0.0, 1.0)
+            save_mat_cube(os.path.join(args.save_dir, name + ".mat"), pred)
+    scenes = [(rgb, gt) for _, rgb, gt in named]
     result = validate(apply_fn, scenes, awan_protocol=(args.method == "awan"))
     print(
         f"{args.method}: MRAE {result['mrae']:.4f}  RMSE {result['rmse']:.4f}  "

@@ -24,6 +24,7 @@ def make_mst_hsi_provider(
     dtype=None,
     method: str = "mst_plus_plus",
     precision: str | None = None,
+    input_encoding: str | None = None,
 ):
     """Return a callable (H, W, 3) frame -> (H, W, 31) reflectance cube.
 
@@ -36,7 +37,15 @@ def make_mst_hsi_provider(
     this is ~2x on TPU at negligible quality cost.
     ``precision="float32"`` forces exact MXU matmuls: ~130 dB agreement
     with the f32 CPU reference instead of the default bf16 passes' ~51 dB,
-    at ~1.6x the latency (PARITY.md, "TPU matmul precision")."""
+    at ~1.6x the latency (PARITY.md, "TPU matmul precision").
+
+    ``input_encoding`` names what the model expects to see. UV species feed
+    providers LINEAR-light RGB (UVAnimal._build_program's double-linearize
+    convention), but real ARAD checkpoints are trained on gamma-encoded
+    per-scene min-max RGB (hsi_dataset.py:43) — so when a pretrained
+    checkpoint is attached the default re-encodes linear -> sRGB before
+    ``module.apply``; random-init analytic use keeps the raw linear input.
+    Pass ``"linear"`` / ``"srgb"`` to override either default."""
     import jax
 
     if module is None:
@@ -45,9 +54,17 @@ def make_mst_hsi_provider(
         module, variables = model_generator(method, pretrained_path)
     if dtype is not None:
         variables = jax.tree_util.tree_map(lambda p: jnp.asarray(p, dtype), variables)
+    if input_encoding is None:
+        input_encoding = "srgb" if pretrained_path is not None else "linear"
+    if input_encoding not in ("linear", "srgb"):
+        raise ValueError(f"input_encoding must be 'linear' or 'srgb', got {input_encoding!r}")
 
     def provider(frame01: jnp.ndarray) -> jnp.ndarray:
         x = jnp.clip(frame01.astype(jnp.float32), 0.0, 1.0)[None]
+        if input_encoding == "srgb":
+            from animal_vision_tpu.core.color import linear_to_srgb
+
+            x = linear_to_srgb(x)
         if dtype is not None:
             x = x.astype(dtype)
         if precision is not None:

@@ -16,6 +16,15 @@ def test_mat_cube_roundtrip(tmp_path):
     back = load_mat_cube(p)
     np.testing.assert_allclose(back, cube, atol=1e-6)
 
+    # MATLAB-v7.3 readability: 512-byte userblock with the \x00\x02IM
+    # version/endian marker at offset 124, and MATLAB_class on the dataset
+    with open(p, "rb") as f:
+        head = f.read(512)
+    assert head.startswith(b"MATLAB 7.3 MAT-file")
+    assert head[124:128] == b"\x00\x02IM"
+    with h5py.File(p, "r") as f:
+        assert bytes(f["cube"].attrs["MATLAB_class"]) == b"single"
+
 
 def test_validate_perfect_prediction_is_inf_free(tmp_path):
     from animal_vision_tpu.models.eval import validate
@@ -91,6 +100,11 @@ def test_dataset_patch_grid_and_augment(tmp_path):
     assert batches, "expected at least one batch"
     rb, hb = batches[0]
     assert rb.shape == (4, 16, 16, 3) and hb.shape == (4, 16, 16, 31)
+    # one epoch covers the FULL strided grid — the tail partial batch is
+    # yielded too, so total patches == 2 scenes x grid size
+    total = sum(b[0].shape[0] for b in batches)
+    assert total == 2 * len(origins)
+    assert all(b[0].shape[0] == 4 for b in batches[:-1])
 
     # augmentation applies IDENTICAL geometry to rgb and cube: find the
     # (rot, vflip, hflip) that maps r->ra and check it also maps s->sa
