@@ -69,20 +69,73 @@ def check_uniform(wavelengths: np.ndarray) -> float:
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _mallett_table():
+    """(wavelengths_5nm, (3, 81) basis) from the checked-in precompute
+    (tools/make_mallett_basis.py; provenance in spectral/colorimetry.py)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "mallett2019_basis_5nm.npz")
+    with np.load(path) as z:
+        return z["wavelengths"].copy(), z["basis"].copy()
+
+
+@functools.lru_cache(maxsize=None)
+def mallett_basis_matrix(wavelengths: tuple, dtype=np.float32) -> np.ndarray:
+    """(3, B) Mallett 2019 basis sampled on the requested grid.
+
+    Parity: colour.recovery.RGB_to_sd_Mallett2019 is exactly
+    ``sd = r*B_r + g*B_g + b*B_b`` over the tabulated basis, then
+    ``sd.interpolate(target_shape)`` resamples to the caller's grid
+    (classic_rgb_to_hsi.py:104-111). Resampling here is linear interpolation
+    of the 5 nm table (colour uses Sprague for uniform data; on a 5 nm table
+    the difference is ~1e-4 of a basis that is itself a re-derived fit —
+    see colorimetry.py's divergence note). Wavelengths outside 380-780 nm
+    clamp to the table edges.
+
+    Channel-order note: unlike the analytic/CUDA path (which binds channel 0
+    to the 460 nm lobe — the "BGR naming" quirk above), the reference's CPU
+    path feeds pixels to RGB_to_sd_Mallett2019 in the order given, so with
+    the RGB frames every caller actually passes, channel 0 drives the RED
+    basis. The two reference paths disagree about channel order; each mode
+    here reproduces its own path exactly.
+    """
+    wl_tab, basis = _mallett_table()
+    wl = np.asarray(wavelengths, dtype=np.float64)
+    out = np.stack([np.interp(wl, wl_tab, basis[i]) for i in range(3)], axis=0)
+    return out.astype(dtype)
+
+
 def classic_rgb_to_hsi(
     frame: jnp.ndarray,
     wavelengths: np.ndarray | None = None,
     linearize: bool = True,
+    mode: str = "analytic",
 ) -> jnp.ndarray:
     """Explicit (H, W, B) cube — the public parity API.
 
+    ``mode="analytic"`` is the reference's CUDA/GPU 3-lobe path (the default
+    the app runs, device="cuda"); ``mode="mallett"`` is the CPU
+    colour-science path (classic_rgb_to_hsi.py:86-111) as a single batched
+    matmul against the precomputed Mallett 2019 basis — the reference's
+    per-pixel Python loop (its HOT LOOP, SURVEY.md §3) collapses to one MXU
+    pass because the recovery is linear in RGB.
+
     ``linearize=False`` supports RatUV's no-cast custom converter
     (animals/rat_uv.py:114-128 passes pre-linearized data in its own path).
+    Like the reference, the input is linearized as-is (uint8-range values
+    are NOT rescaled first; classic_rgb_to_hsi.py:50-52,87-89).
     """
     if wavelengths is None:
         wavelengths = np.linspace(400.0, 700.0, 31, dtype=np.float32)
     check_uniform(np.asarray(wavelengths))
-    g = lobe_matrix(tuple(float(v) for v in np.asarray(wavelengths)))
+    key = tuple(float(v) for v in np.asarray(wavelengths))
+    if mode == "analytic":
+        g = lobe_matrix(key)
+    elif mode == "mallett":
+        g = mallett_basis_matrix(key)
+    else:
+        raise ValueError(f"mode must be 'analytic' or 'mallett', got {mode!r}")
     x = frame.astype(jnp.float32)
     if linearize:
         x = _srgb_to_linear(x)
@@ -91,14 +144,21 @@ def classic_rgb_to_hsi(
 
 
 def fused_band_matrix(
-    wavelengths: np.ndarray, weight_vectors: np.ndarray
+    wavelengths: np.ndarray, weight_vectors: np.ndarray, mode: str = "analytic"
 ) -> np.ndarray:
-    """Fold the lobe matrix with (B, n) band-weight columns: the returned
-    (3, n) matrix integrates bands directly from linearized RGB without ever
-    materializing the cube. Exact up to float association: both the upsampler
-    and the band integral are linear maps."""
+    """Fold the upsampler matrix with (B, n) band-weight columns: the
+    returned (3, n) matrix integrates bands directly from linearized RGB
+    without ever materializing the cube. Exact up to float association: both
+    the upsampler and the band integral are linear maps. Works for either
+    upsampler ``mode`` (the Mallett recovery is equally linear)."""
     check_uniform(np.asarray(wavelengths))
-    g = lobe_matrix(tuple(float(v) for v in np.asarray(wavelengths)), dtype=np.float64)
+    key = tuple(float(v) for v in np.asarray(wavelengths))
+    if mode == "analytic":
+        g = lobe_matrix(key, dtype=np.float64)
+    elif mode == "mallett":
+        g = mallett_basis_matrix(key, dtype=np.float64)
+    else:
+        raise ValueError(f"mode must be 'analytic' or 'mallett', got {mode!r}")
     w = np.asarray(weight_vectors, dtype=np.float64)
     if w.ndim == 1:
         w = w[:, None]
