@@ -60,15 +60,15 @@ def _encode_u8(x):
     return jnp.floor(s * 255.0 + 0.5).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _pick_tile(h: int) -> int:
+def _pick_tile(h: int, max_t: int = 64) -> int:
     """Tile rows: Mosaic requires block sublanes divisible by 8 (or equal to
     the array dim). Prefer the largest multiple-of-8 divisor of H in
-    [16, 64]; a small image becomes one full-array block; otherwise 32 with
-    partial-block masking."""
-    for t in range(64, 15, -8):
+    [16, max_t]; a small image becomes one full-array block; otherwise 32
+    with partial-block masking."""
+    for t in range(max_t, 15, -8):
         if t % 8 == 0 and h % t == 0:
             return t
-    if h <= 64:
+    if h <= max_t:
         return h
     return 32
 
@@ -270,46 +270,21 @@ def fused_matrix_blur(
 # ---------------------------------------------------------------------------
 
 
-def _reflect_w_lanes(x: jnp.ndarray, pad_px: int) -> jnp.ndarray:
-    """Channel-correct reflect-101 along W for an interleaved (T, 3*W) tile,
-    built from per-pixel 3-lane slices (pad_px is small; an XLA u8 pad of the
-    full frame costs ~0.8 ms at 1080p — in-VMEM assembly is ~free)."""
-    wpx = x.shape[1] // 3
-    left = [x[:, 3 * j : 3 * (j + 1)] for j in range(pad_px, 0, -1)]
-    right = [x[:, 3 * (wpx - 2 - j) : 3 * (wpx - 1 - j)] for j in range(pad_px)]
-    return jnp.concatenate(left + [x] + right, axis=1)
+def _apply_mix_chroma_encode(acc2, mix_ref, chroma):
+    """Shared tail: per-row 3x3 channel mix -> optional chroma -> encode.
 
-
-def _streak_kernel(
-    scale_ref, x_ref, k1_ref, mix_ref, k2_ref, o_ref, *, k1, k2, r1, r2, w, chroma
-):
-    scale = scale_ref[0, 0]
-    padded = _reflect_w_lanes(x_ref[...], r1 + r2)
-    f = jnp.clip(padded.astype(jnp.int32).astype(jnp.float32) * scale, 0.0, 1.0)
-    lin = _linearize(f)
-
-    # pass 1: per-row horizontal blur; taps shift by 3 lanes per pixel.
-    w1 = w + 2 * r2
-    acc = lin[:, 0 : 3 * w1] * k1_ref[:, 0:1]
-    for t in range(1, k1):
-        acc = acc + lin[:, 3 * t : 3 * (t + w1)] * k1_ref[:, t : t + 1]
-
-    # per-row 3x3 channel mix (the reference's (W,3)-as-image quirk):
-    # out[3j+c] = sum_c2 m[c,c2] * acc[3j+c2]. Channel shifts stay inside one
-    # pixel, so circular roll is exact under the lane-mod-3 mask.
-    mod3 = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1) % 3
-    mixed = jnp.zeros_like(acc)
+    The mix implements the reference's (W,3)-as-image quirk:
+    out[3j+c] = sum_c2 m[c,c2] * acc[3j+c2]. Channel shifts stay inside one
+    pixel, so circular roll is exact under the lane-mod-3 mask."""
+    mod3 = jax.lax.broadcasted_iota(jnp.int32, acc2.shape, 1) % 3
+    mixed = jnp.zeros_like(acc2)
     for c in range(3):
-        row = jnp.zeros_like(acc)
+        row = jnp.zeros_like(acc2)
         for c2 in range(3):
-            shifted = acc if c2 == c else pltpu.roll(acc, (c - c2) % acc.shape[1], 1)
+            shifted = acc2 if c2 == c else pltpu.roll(acc2, (c - c2) % acc2.shape[1], 1)
             row = row + mix_ref[:, 3 * c + c2 : 3 * c + c2 + 1] * shifted
         mixed = jnp.where(mod3 == c, row, mixed)
-
-    # pass 2: per-row horizontal blur down to W pixels.
-    acc2 = mixed[:, 0 : 3 * w] * k2_ref[:, 0:1]
-    for t in range(1, k2):
-        acc2 = acc2 + mixed[:, 3 * t : 3 * (t + w)] * k2_ref[:, t : t + 1]
+    acc2 = mixed
 
     if chroma is not None:
         # chroma compression lerps toward the per-pixel channel mean; gather
@@ -327,7 +302,72 @@ def _streak_kernel(
         gray = jnp.where(mod3w == 0, s0, jnp.where(mod3w == 1, s1, s2)) * (1.0 / 3.0)
         acc2 = gray + (acc2 - gray) * (1.0 - chroma)
 
-    o_ref[...] = _encode_u8(acc2)
+    return _encode_u8(acc2)
+
+
+def _streak_kernel(scale_ref, x_ref, k_ref, mix_ref, o_ref, *, r, w, kmax, chroma):
+    """One-pass streak pipeline per row tile.
+
+    The reference's two per-row horizontal blurs with a per-row channel mix
+    between them (animal_utils.py:147-172 via core.blur.streak_blur) collapse
+    to ONE per-row convolution: the channel mix M_r acts on the channel index
+    and the second blur K2_r on the pixel index, so they commute exactly and
+    out_r = K2_r M_r K1_r x_r = M_r (K2_r * K1_r) x_r. The combined kernel
+    k12 = k1 (*) k2 is precomputed per row on the host.
+
+    Taps walk the row by static independent circular lane rolls (a lane
+    rotate is ~2x cheaper than an unaligned lane slice on the VPU, and
+    independent rolls keep instruction-level parallelism; per-tile dynamic
+    tap bounds via fori_loop/lax.switch and a VMEM-scratch accumulator both
+    measured slower than the straight unrolled loop).
+    """
+    scale = scale_ref[0, 0]
+    f = jnp.clip(x_ref[...].astype(jnp.int32).astype(jnp.float32) * scale, 0.0, 1.0)
+    lin = _linearize(f)
+    wb = 3 * w  # body lanes
+
+    # Interior: circular rolls directly on the body — no padding pass at all.
+    # Wrap-around only corrupts pixels within r of either edge, and those are
+    # overwritten by the exact border strips below. k12 is symmetric, so the
+    # two taps at distance d share one per-row weight column (k_ref holds the
+    # half-table, column d = distance from center).
+    acc = lin * k_ref[:, 0:1]
+    for d in range(1, r + 1):
+        pair = pltpu.roll(lin, (3 * d) % wb, 1) + pltpu.roll(lin, (-3 * d) % wb, 1)
+        acc = acc + pair * k_ref[:, d : d + 1]
+
+    # Exact border strips, computed on narrow (T, <=384)-lane windows where
+    # reflect-101 assembly and unaligned slices are cheap.
+    def _border(strip):
+        # strip covers pixels [px0, px0+strip_px) of the row; returns the
+        # exact conv for pixels [px0+r, px0+strip_px-r).
+        out_px = strip.shape[1] // 3 - 2 * r
+        a = strip[:, 3 * r : 3 * r + 3 * out_px] * k_ref[:, 0:1]
+        for j in range(kmax):
+            d = abs(j - r)
+            if d == 0:
+                continue
+            a = a + strip[:, 3 * j : 3 * j + 3 * out_px] * k_ref[:, d : d + 1]
+        return a
+
+    npx = 128 // 3 + 1  # pixels covered by one 128-lane block (rounded up)
+    # left: reflect halo + first npx pixels
+    refl = [lin[:, 3 * j : 3 * (j + 1)] for j in range(r, 0, -1)]
+    strip_l = jnp.concatenate(refl + [lin[:, 0 : 3 * (npx + r)]], axis=1)
+    fix_l = _border(strip_l)  # exact pixels [0, npx)
+    # right: last npx pixels + reflect halo
+    reflr = [lin[:, 3 * (w - 2 - j) : 3 * (w - 1 - j)] for j in range(r)]
+    strip_r = jnp.concatenate([lin[:, 3 * (w - npx - r) :]] + reflr, axis=1)
+    fix_r = _border(strip_r)  # exact pixels [w-npx, w)
+
+    # Stitch: the wrong border lanes live inside the first/last 128-lane
+    # blocks of the body — overwrite whole aligned blocks with the exact
+    # strips (widened to 128 lanes from the 3*npx >= 128 computed ones).
+    mid = acc[:, 128 : wb - 128]
+    acc2 = jnp.concatenate(
+        [fix_l[:, 0:128], mid, fix_r[:, 3 * npx - 128 : 3 * npx]], axis=1
+    )
+    o_ref[...] = _apply_mix_chroma_encode(acc2, mix_ref, chroma)
 
 
 @functools.partial(
@@ -344,15 +384,30 @@ def fused_streak_u8(
 
     normalize -> linear -> matrix -> streak blur (horizontal-only per-row
     sigmas + per-row channel mix; core.blur.streak_blur semantics) ->
-    optional chroma compression -> encode."""
+    optional chroma compression -> encode. The two reference blur passes and
+    the channel mix are algebraically reordered into one combined per-row
+    convolution followed by one mix (see _streak_kernel)."""
     from animal_vision_tpu.core import color as _color
 
     h, w = int(img.shape[0]), int(img.shape[1])
     y_c, s_s, s_f, fo = params
     sx, sy = _blur.streak_sigma_map(h, y_c, s_s, s_f, fo)
-    tab1, k1 = _blur._row_kernel_table(sx)
-    tab2, k2 = _blur._row_kernel_table(sy)
-    r1, r2 = k1 // 2, k2 // 2
+
+    # Per-row combined kernel k12 = k1 (*) k2, stored as a symmetric
+    # half-table (H, R+1): column d = tap weight at distance d from center
+    # (symmetry enforced to the ulp so the paired-tap kernel is exact).
+    rows = []
+    for s1, s2 in zip(sx, sy):
+        k1v = _blur.gaussian_kernel_1d(_blur.cv2_auto_ksize(float(s1)), float(s1))
+        k2v = _blur.gaussian_kernel_1d(_blur.cv2_auto_ksize(float(s2)), float(s2))
+        v = np.convolve(k1v.astype(np.float64), k2v.astype(np.float64))
+        rows.append(0.5 * (v + v[::-1]))
+    kmax = max(len(v) for v in rows)
+    r = kmax // 2
+    tab = np.zeros((h, r + 1), dtype=np.float32)
+    for y, v in enumerate(rows):
+        rv = len(v) // 2
+        tab[y, : rv + 1] = v[rv:]
 
     mat = _color.collapse_lms_matrix(alpha, s_scale).astype(np.float64)
     # Fold the dichromat color matrix into the per-row channel-mix matrices
@@ -368,34 +423,30 @@ def fused_streak_u8(
         axis=0,
     ).astype(np.float32)
 
-    t_rows = _pick_tile(h)
+    assert 3 * r <= 128, "kernel too wide for the zero-pad roll margin"
+    t_rows = _pick_tile(h, max_t=64)  # rolls measured cheapest at T=64 (vs 24/40/120)
     n = -(-h // t_rows)
     hp = n * t_rows
 
     flat = img.reshape(h, w * 3)
     scale = _scale_of(img)
-
-    tab1p = jnp.asarray(np.pad(tab1, ((0, hp - h), (0, 0))))
-    tab2p = jnp.asarray(np.pad(tab2, ((0, hp - h), (0, 0))))
+    tabp = jnp.asarray(np.pad(tab, ((0, hp - h), (0, 0))))
     mixp = jnp.asarray(np.pad(mix, ((0, hp - h), (0, 0))))
 
     out = pl.pallas_call(
-        functools.partial(
-            _streak_kernel, k1=k1, k2=k2, r1=r1, r2=r2, w=w, chroma=chroma
-        ),
+        functools.partial(_streak_kernel, r=r, w=w, kmax=kmax, chroma=chroma),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((t_rows, w * 3), lambda i: (i, 0)),
-            pl.BlockSpec((t_rows, k1), lambda i: (i, 0)),
+            pl.BlockSpec((t_rows, r + 1), lambda i: (i, 0)),
             pl.BlockSpec((t_rows, 9), lambda i: (i, 0)),
-            pl.BlockSpec((t_rows, k2), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((t_rows, w * 3), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((h, w * 3), jnp.uint8),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(scale, flat, tab1p, mixp, tab2p)
+    )(scale, flat, tabp, mixp)
     return out.reshape(h, w, 3)
 
 

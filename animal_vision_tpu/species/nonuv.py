@@ -165,7 +165,7 @@ class NonUVAnimal(Animal):
         # The streak kernel's in-VMEM reflect pad requires W > pad width;
         # tiny frames fall back to the XLA path (same numerics).
         if fused is not None and any(e.kind == "streak" for e in spec.effects if e.enabled):
-            if shape[1] < 32:
+            if shape[1] < 64:  # border-fix strips need npx+r <= W pixels
                 fused = None
         if fused is not None:
             return lambda image: (image, fused(image))
