@@ -370,40 +370,41 @@ def _streak_kernel(scale_ref, x_ref, k_ref, mix_ref, o_ref, *, r, w, kmax, chrom
     o_ref[...] = _apply_mix_chroma_encode(acc2, mix_ref, chroma)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("alpha", "s_scale", "params", "chroma")
-)
-def fused_streak_u8(
-    img: jnp.ndarray,
-    alpha: float,
-    s_scale: float,
-    params: tuple,
-    chroma: float | None = None,
-):
-    """Whole streak-species pipeline, uint8 -> uint8, one HBM pass.
+def streak_fixed_radius(params: tuple) -> int:
+    """Species-fixed upper bound on the combined-kernel half width: the
+    per-row sigma approaches (never exceeds) ``sigma_far``, and
+    cv2_auto_ksize is monotone in sigma, so radii computed at sigma_far
+    bound every row. Used by the bucketed path so every real H that maps to
+    one bucket shares one compiled program."""
+    _, _, s_f, _ = params
+    k1 = _blur.cv2_auto_ksize(float(s_f))
+    k2 = _blur.cv2_auto_ksize(max(0.4, 0.5 * float(s_f)))
+    return (k1 + k2 - 2) // 2
 
-    normalize -> linear -> matrix -> streak blur (horizontal-only per-row
-    sigmas + per-row channel mix; core.blur.streak_blur semantics) ->
-    optional chroma compression -> encode. The two reference blur passes and
-    the channel mix are algebraically reordered into one combined per-row
-    convolution followed by one mix (see _streak_kernel)."""
+
+def streak_tables(
+    h: int, params: tuple, alpha: float, s_scale: float, r_fixed: int | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host-side per-row tables for the streak kernel.
+
+    Returns (tab (h, r+1) f32, mix (h, 9) f32, r). tab is the symmetric
+    half-table of the combined kernel k12 = k1 (*) k2 (column d = tap weight
+    at distance d from center; symmetry enforced to the ulp so the
+    paired-tap kernel is exact); mix is the per-row channel-mix matrix with
+    the dichromat color matrix folded in. ``r_fixed`` widens the table to a
+    species-fixed radius (zero-filled) so programs can be shared across H."""
     from animal_vision_tpu.core import color as _color
 
-    h, w = int(img.shape[0]), int(img.shape[1])
     y_c, s_s, s_f, fo = params
     sx, sy = _blur.streak_sigma_map(h, y_c, s_s, s_f, fo)
 
-    # Per-row combined kernel k12 = k1 (*) k2, stored as a symmetric
-    # half-table (H, R+1): column d = tap weight at distance d from center
-    # (symmetry enforced to the ulp so the paired-tap kernel is exact).
     rows = []
     for s1, s2 in zip(sx, sy):
         k1v = _blur.gaussian_kernel_1d(_blur.cv2_auto_ksize(float(s1)), float(s1))
         k2v = _blur.gaussian_kernel_1d(_blur.cv2_auto_ksize(float(s2)), float(s2))
         v = np.convolve(k1v.astype(np.float64), k2v.astype(np.float64))
         rows.append(0.5 * (v + v[::-1]))
-    kmax = max(len(v) for v in rows)
-    r = kmax // 2
+    r = max(len(v) for v in rows) // 2 if r_fixed is None else r_fixed
     tab = np.zeros((h, r + 1), dtype=np.float32)
     for y, v in enumerate(rows):
         rv = len(v) // 2
@@ -422,16 +423,26 @@ def fused_streak_u8(
         ],
         axis=0,
     ).astype(np.float32)
+    return tab, mix, r
 
-    assert 3 * r <= 128, "kernel too wide for the zero-pad roll margin"
+
+def _streak_pallas(img, tab, mix, chroma):
+    """Shared pallas_call plumbing: ``tab``/``mix`` are device operands (so a
+    program compiled for one (H, W) bucket serves any real frame padded into
+    it); their row counts must equal img's H."""
+    h, w = int(img.shape[0]), int(img.shape[1])
+    r = int(tab.shape[1]) - 1
+    kmax = 2 * r + 1
+
+    assert 3 * r <= 128, "kernel too wide for the roll margin"
     t_rows = _pick_tile(h, max_t=64)  # rolls measured cheapest at T=64 (vs 24/40/120)
     n = -(-h // t_rows)
     hp = n * t_rows
 
     flat = img.reshape(h, w * 3)
     scale = _scale_of(img)
-    tabp = jnp.asarray(np.pad(tab, ((0, hp - h), (0, 0))))
-    mixp = jnp.asarray(np.pad(mix, ((0, hp - h), (0, 0))))
+    tabp = jnp.pad(tab, ((0, hp - h), (0, 0)))
+    mixp = jnp.pad(mix, ((0, hp - h), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_streak_kernel, r=r, w=w, kmax=kmax, chroma=chroma),
@@ -448,6 +459,37 @@ def fused_streak_u8(
         interpret=_interpret(),
     )(scale, flat, tabp, mixp)
     return out.reshape(h, w, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "s_scale", "params", "chroma")
+)
+def fused_streak_u8(
+    img: jnp.ndarray,
+    alpha: float,
+    s_scale: float,
+    params: tuple,
+    chroma: float | None = None,
+):
+    """Whole streak-species pipeline, uint8 -> uint8, one HBM pass.
+
+    normalize -> linear -> matrix -> streak blur (horizontal-only per-row
+    sigmas + per-row channel mix; core.blur.streak_blur semantics) ->
+    optional chroma compression -> encode. The two reference blur passes and
+    the channel mix are algebraically reordered into one combined per-row
+    convolution followed by one mix (see _streak_kernel)."""
+    h = int(img.shape[0])
+    tab, mix, _ = streak_tables(h, params, alpha, s_scale)
+    return _streak_pallas(img, jnp.asarray(tab), jnp.asarray(mix), chroma)
+
+
+@functools.partial(jax.jit, static_argnames=("chroma",))
+def fused_streak_tab_u8(img, tab, mix, chroma: float | None = None):
+    """Bucketed-shape variant: tables precomputed on the host (for the REAL
+    frame height, zero-padded to img's bucket height) arrive as runtime
+    operands, so nearby frame shapes padded into one bucket share this one
+    compiled program (SURVEY.md §7 hard-part 5)."""
+    return _streak_pallas(img, tab, mix, chroma)
 
 
 # ---------------------------------------------------------------------------
@@ -474,39 +516,30 @@ def _pointwise_kernel(scale_ref, x_ref, gain_ref, o_ref, *, mat9, use_gain):
     o_ref[...] = _encode_u8(out)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "s_scale", "scone"))
-def fused_pointwise_u8(
-    img: jnp.ndarray, alpha: float, s_scale: float, scone: tuple | None = None
-):
-    """Matrix-only (pig) or matrix + S-cone row gain (rat) pipeline,
-    uint8 -> uint8 in one pass (animals/pig.py, animals/rat.py)."""
-    from animal_vision_tpu.core import color as _color
-    from animal_vision_tpu.core import effects as _effects
+def scone_gain(h: int, scone: tuple) -> np.ndarray:
+    """Host-side (h, 1) blue-channel row-gain vector for the rat's S-cone
+    vertical ramp (animal_utils.py:206-259 semantics via core.effects)."""
+    s_top, s_bottom, power, extra = scone
+    wvec = np.linspace(s_top, s_bottom, h, dtype=np.float32)
+    if power != 1.0:
+        t = (wvec - s_bottom) / max(1e-8, s_top - s_bottom)
+        t = np.clip(t, 0.0, 1.0) ** power
+        wvec = s_bottom + (s_top - s_bottom) * t
+    if extra != 0.0:
+        wvec = 1.0 + extra * (wvec - 1.0)
+    return wvec.astype(np.float32).reshape(-1, 1)
 
+
+def _pointwise_pallas(img, gain, mat9, use_gain):
     h, w = int(img.shape[0]), int(img.shape[1])
-    mat9 = tuple(
-        float(v) for v in _color.collapse_lms_matrix(alpha, s_scale).reshape(9)
-    )
     t_rows = _pick_tile(h)
     n = -(-h // t_rows)
     hp = n * t_rows
 
-    if scone is not None:
-        s_top, s_bottom, power, extra = scone
-        wvec = np.linspace(s_top, s_bottom, h, dtype=np.float32)
-        if power != 1.0:
-            t = (wvec - s_bottom) / max(1e-8, s_top - s_bottom)
-            t = np.clip(t, 0.0, 1.0) ** power
-            wvec = s_bottom + (s_top - s_bottom) * t
-        if extra != 0.0:
-            wvec = 1.0 + extra * (wvec - 1.0)
-        gain = np.pad(wvec.astype(np.float32), (0, hp - h)).reshape(-1, 1)
-    else:
-        gain = np.ones((hp, 1), dtype=np.float32)
-
     flat = img.reshape(h, w * 3)
+    gainp = jnp.pad(gain, ((0, hp - int(gain.shape[0])), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_pointwise_kernel, mat9=mat9, use_gain=scone is not None),
+        functools.partial(_pointwise_kernel, mat9=mat9, use_gain=use_gain),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -517,5 +550,36 @@ def fused_pointwise_u8(
         out_shape=jax.ShapeDtypeStruct((h, w * 3), jnp.uint8),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(_scale_of(img), flat, jnp.asarray(gain))
+    )(_scale_of(img), flat, gainp)
     return out.reshape(h, w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "s_scale", "scone"))
+def fused_pointwise_u8(
+    img: jnp.ndarray, alpha: float, s_scale: float, scone: tuple | None = None
+):
+    """Matrix-only (pig) or matrix + S-cone row gain (rat) pipeline,
+    uint8 -> uint8 in one pass (animals/pig.py, animals/rat.py)."""
+    from animal_vision_tpu.core import color as _color
+
+    h = int(img.shape[0])
+    mat9 = tuple(
+        float(v) for v in _color.collapse_lms_matrix(alpha, s_scale).reshape(9)
+    )
+    gain = jnp.asarray(
+        scone_gain(h, scone) if scone is not None else np.ones((h, 1), np.float32)
+    )
+    return _pointwise_pallas(img, gain, mat9, scone is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "s_scale"))
+def fused_scone_tab_u8(img, gain, alpha: float, s_scale: float):
+    """Bucketed-shape variant of the rat pipeline: the row-gain vector is a
+    runtime operand (computed for the REAL height, zero-padded to the bucket
+    height) so nearby shapes share one compiled program."""
+    from animal_vision_tpu.core import color as _color
+
+    mat9 = tuple(
+        float(v) for v in _color.collapse_lms_matrix(alpha, s_scale).reshape(9)
+    )
+    return _pointwise_pallas(img, gain, mat9, True)

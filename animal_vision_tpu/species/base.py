@@ -24,6 +24,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class _CropView:
+    """Lazy crop of a (possibly batched) padded device array: converts to a
+    host array only when consumed (np.asarray), so visualize_batch_device
+    keeps its no-sync contract under shape bucketing."""
+
+    def __init__(self, dev, h: int, w: int):
+        self._dev, self._h, self._w = dev, h, w
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._dev)[..., : self._h, : self._w, :]
+        return a.astype(dtype) if dtype is not None else a
+
+
 class Animal(abc.ABC):
     """Base class for all species simulators."""
 
@@ -32,6 +45,7 @@ class Animal(abc.ABC):
 
     def __init__(self) -> None:
         self._programs: dict = {}
+        self._aux_cache: dict = {}
 
     # -- to be provided by subclasses ------------------------------------
     @abc.abstractmethod
@@ -41,6 +55,50 @@ class Animal(abc.ABC):
         """Return a function (device image) -> (baseline, transformed) for the
         given static input shape/dtype. The returned function must be pure and
         jittable."""
+
+    # -- shape bucketing (SURVEY.md §7 hard-part 5) ------------------------
+    # Species that support it override _bucket_plan/_build_bucket_program/
+    # _bucket_aux; the default is exact per-shape compilation.
+    def _bucket_plan(self, shape, dtype):
+        """Return (bucket_h, bucket_w) for a frame shape that should share a
+        padded-bucket program, or None for exact per-shape compilation."""
+        return None
+
+    def _build_bucket_program(self, bucket_shape, dtype):
+        """Return fn(padded_image, aux) -> (baseline, out) for the bucket
+        shape; ``aux`` is the pytree from _bucket_aux (host tables computed
+        for the REAL shape, padded to the bucket)."""
+        raise NotImplementedError
+
+    def _bucket_aux(self, shape, bucket_shape):
+        return ()
+
+    def _bucket_call(self, images: np.ndarray, batched: bool):
+        """Pad to the bucket with reflect-101 (exact for the conv borders of
+        every in-frame output pixel), run the shared bucket program, return
+        (device result, real_h, real_w)."""
+        shape = images.shape[1:] if batched else images.shape
+        bh, bw = self._bucket_plan(shape, images.dtype)
+        h, w = shape[0], shape[1]
+        spatial = ((0, bh - h), (0, bw - w), (0, 0))
+        pad = (((0, 0),) + spatial) if batched else spatial
+        padded = np.pad(images, pad, mode="reflect")
+
+        key = ("bucket", (bh, bw, 3), np.dtype(images.dtype).str, batched)
+        prog = self._programs.get(key)
+        if prog is None:
+            fn = self._build_bucket_program((bh, bw, 3), np.dtype(images.dtype))
+            if batched:
+                fn = jax.vmap(fn, in_axes=(0, None))
+            prog = jax.jit(fn)
+            self._programs[key] = prog
+
+        akey = (tuple(shape), bh, bw)
+        aux = self._aux_cache.get(akey)
+        if aux is None:
+            aux = jax.tree.map(jnp.asarray, self._bucket_aux(shape, (bh, bw, 3)))
+            self._aux_cache[akey] = aux
+        return prog(jnp.asarray(padded), aux), h, w
 
     # -- public API -------------------------------------------------------
     def _program(self, shape: tuple[int, ...], dtype: np.dtype, batched: bool):
@@ -58,6 +116,9 @@ class Animal(abc.ABC):
         """Simulate this species' vision. numpy in -> numpy out."""
         assert isinstance(image, np.ndarray), "Input must be a numpy ndarray."
         assert image.ndim == 3 and image.shape[2] == 3, "Input must be HxWx3 RGB."
+        if self._bucket_plan(image.shape, image.dtype) is not None:
+            (baseline, out), h, w = self._bucket_call(image, batched=False)
+            return np.asarray(baseline)[:h, :w], np.asarray(out)[:h, :w]
         prog = self._program(image.shape, image.dtype, batched=False)
         baseline, out = prog(jnp.asarray(image))
         return np.asarray(baseline), np.asarray(out)
@@ -70,8 +131,12 @@ class Animal(abc.ABC):
     def visualize_batch_device(self, images: np.ndarray):
         """Like visualize_batch but returns device arrays without syncing —
         the streaming executor uses this so dispatch of batch i overlaps the
-        host-side encode of batch i-1."""
+        host-side encode of batch i-1. Under shape bucketing the returned
+        pair are lazy crop views (np.asarray-able, still unsynced)."""
         assert images.ndim == 4 and images.shape[3] == 3, "Input must be NxHxWx3."
+        if self._bucket_plan(images.shape[1:], images.dtype) is not None:
+            (baseline, out), h, w = self._bucket_call(images, batched=True)
+            return _CropView(baseline, h, w), _CropView(out, h, w)
         prog = self._program(images.shape[1:], images.dtype, batched=True)
         return prog(jnp.asarray(images))
 

@@ -159,6 +159,101 @@ class NonUVAnimal(Animal):
             )
         return None
 
+    # -- shape bucketing (SURVEY.md §7 hard-part 5) ------------------------
+    # Standard video shapes (h%8==0, w%32==0: 1080p/720p/VGA/the test
+    # fixtures) keep the exact path with tables folded as constants. Odd
+    # shapes pad with host reflect-101 into 64-px buckets — exact for every
+    # in-frame pixel because the pad is at least the blur radius (or the
+    # blur has no vertical taps) — and share ONE compiled program per
+    # bucket; the per-row tables (streak kernels, S-cone ramp) are computed
+    # for the real height and passed as runtime operands.
+
+    def _bucket_kinds(self):
+        return tuple(e.kind for e in self.spec.effects if e.enabled)
+
+    def _bucket_radii(self):
+        """(ry, rx) minimum pad so padded-frame borders are exact, or None
+        if this effect stack has no bucketable fused kernel."""
+        from animal_vision_tpu.core import blur as _b
+        from animal_vision_tpu.ops import fused_nonuv as _fused
+
+        kinds = self._bucket_kinds()
+        active = [e for e in self.spec.effects if e.enabled]
+        if kinds in ((), ("scone",)):
+            return 0, 0
+        if kinds == ("blur",):
+            r = _b.cv2_auto_ksize(float(active[0].params[0])) // 2
+            return r, r
+        if kinds in (("streak",), ("streak", "chroma")):
+            # horizontal-only: rows are independent, no vertical radius
+            return 0, _fused.streak_fixed_radius(active[0].params)
+        return None
+
+    def _bucket_plan(self, shape, dtype):
+        if np.dtype(dtype) != np.uint8:
+            return None
+        h, w = int(shape[0]), int(shape[1])
+        if h % 8 == 0 and w % 32 == 0:
+            return None  # standard sizes: exact fast path
+        radii = self._bucket_radii()
+        if radii is None:
+            return None
+        ry, rx = radii
+
+        def up(v, r):
+            b = -(-v // 64) * 64
+            if 0 < b - v < r:
+                b += 64
+            return b
+
+        bh, bw = up(h, ry), up(w, rx)
+        if bh - h > h - 1 or bw - w > w - 1:
+            return None  # too small for reflect padding: exact path
+        if "streak" in self._bucket_kinds() and bw < 64:
+            return None
+        return bh, bw
+
+    def _build_bucket_program(self, bucket_shape, dtype):
+        from animal_vision_tpu.ops import fused_nonuv as _fused
+
+        spec = self.spec
+        active = [e for e in spec.effects if e.enabled]
+        kinds = self._bucket_kinds()
+        a, s = spec.alpha, spec.s_scale
+        if kinds == ():
+            return lambda img, aux: (img, _fused.fused_pointwise_u8(img, a, s))
+        if kinds == ("scone",):
+            return lambda img, aux: (img, _fused.fused_scone_tab_u8(img, aux[0], a, s))
+        if kinds == ("blur",):
+            sigma = active[0].params[0]
+            return lambda img, aux: (img, _fused.fused_iso_u8(img, a, s, sigma))
+        chroma = active[1].params[0] if kinds == ("streak", "chroma") else None
+        return lambda img, aux: (
+            img,
+            _fused.fused_streak_tab_u8(img, aux[0], aux[1], chroma=chroma),
+        )
+
+    def _bucket_aux(self, shape, bucket_shape):
+        from animal_vision_tpu.ops import fused_nonuv as _fused
+
+        h, bh = int(shape[0]), int(bucket_shape[0])
+        active = [e for e in self.spec.effects if e.enabled]
+        kinds = self._bucket_kinds()
+        if kinds == ("scone",):
+            gain = _fused.scone_gain(h, active[0].params)
+            return (np.pad(gain, ((0, bh - h), (0, 0))),)
+        if kinds in (("streak",), ("streak", "chroma")):
+            params = active[0].params
+            tab, mix, _ = _fused.streak_tables(
+                h, params, self.spec.alpha, self.spec.s_scale,
+                r_fixed=_fused.streak_fixed_radius(params),
+            )
+            return (
+                np.pad(tab, ((0, bh - h), (0, 0))),
+                np.pad(mix, ((0, bh - h), (0, 0))),
+            )
+        return ()
+
     def _build_program(self, shape, dtype):
         spec = self.spec
         fused = self._fused_fn(dtype)

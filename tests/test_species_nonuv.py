@@ -76,3 +76,59 @@ def test_registry_covers_all_nonuv():
     assert len(NON_UV_NAMES) == 20
     for n in NON_UV_NAMES:
         assert get_animal(n) is get_animal(n)  # cached singleton
+
+
+# -- shape bucketing (SURVEY.md §7 hard-part 5) ------------------------------
+
+
+def _fresh(name):
+    from animal_vision_tpu.species.nonuv import NonUVAnimal
+
+    return NonUVAnimal(NONUV_SPECS[name])
+
+
+def _noise_img(shape, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("name", ["horse", "rabbit", "dog", "rat", "pig"])
+def test_bucketed_shapes_share_one_program(name):
+    """Two nearby unaligned shapes pad into ONE bucket program, and the
+    output stays sub-LSB vs the cv2 oracle (the reflect-101 host pad makes
+    every in-frame pixel's conv borders exact)."""
+    animal = _fresh(name)
+    spec = NONUV_SPECS[name]
+    for i, shape in enumerate([(107, 205, 3), (101, 213, 3)]):
+        img = _noise_img(shape, seed=i)
+        base, out = animal.visualize(img)
+        np.testing.assert_array_equal(base, img)
+        _, ref = oracles.nonuv_pipeline(img, spec.alpha, spec.s_scale, _spec_effects(spec))
+        assert out.shape == ref.shape
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1, (name, shape)
+    bucket_keys = [k for k in animal._programs if k[0] == "bucket"]
+    assert len(bucket_keys) == 1, bucket_keys
+    assert len(animal._programs) == 1  # no exact program was compiled
+
+
+def test_bucketed_executor_no_recompile():
+    """A mid-stream resolution change reuses the compiled bucket program
+    (the executor path goes through visualize_batch_device)."""
+    from animal_vision_tpu.pipeline.executor import StreamingExecutor
+
+    animal = _fresh("horse")
+    outs = []
+    for i, shape in enumerate([(107, 205, 3), (101, 213, 3)]):
+        ex = StreamingExecutor(animal, batch=2, split=False)
+        frames = [_noise_img(shape, seed=10 + i + j) for j in range(3)]
+        n = ex.run(iter(frames), outs.append)
+        assert n == 3
+    assert len([k for k in animal._programs if k[0] == "bucket"]) == 1
+    assert outs[0].shape == (107, 205, 3) and outs[-1].shape == (101, 213, 3)
+
+
+def test_aligned_shapes_keep_exact_path(img_u8):
+    """Standard shapes (h%8==0, w%32==0 — the 64x96 fixture, 1080p, 720p)
+    never pad: they compile the exact per-shape program."""
+    animal = _fresh("horse")
+    animal.visualize(img_u8)
+    assert not [k for k in animal._programs if k[0] == "bucket"]
