@@ -65,24 +65,53 @@ class DWConv(nn.Module):
         return out
 
 
+class _Proj(nn.Module):
+    """Dense-tree-compatible kernel+bias param holder (no forward)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+            ),
+            self.param("bias", nn.initializers.zeros, (self.out_dim,)),
+        )
+
+
 class MSMSA(nn.Module):
-    """Multi-head spectral-wise self-attention (MST_Plus_Plus.py:88-139)."""
+    """Multi-head spectral-wise self-attention (MST_Plus_Plus.py:88-139).
+
+    ``weights_only=True`` declares the identical param tree and returns the
+    raw weights for the fused Pallas MSAB megakernel (ops/fused_msab.py)."""
 
     dim: int
     dim_head: int
     heads: int
 
     @nn.compact
-    def __call__(self, x):  # x: (B, H, W, C)
+    def __call__(self, x, weights_only: bool = False):  # x: (B, H, W, C)
         b, h, w, c = x.shape
         n = h * w
         inner = self.dim_head * self.heads
-        xf = x.reshape(b, n, c)
-        # one fused qkv matmul (single pass over x) instead of three Denses;
-        # param tree stays Dense-compatible (to_q/to_k/to_v kernels)
         wq = _Kern((c, inner), name="to_q")()
         wk = _Kern((c, inner), name="to_k")()
         wv = _Kern((c, inner), name="to_v")()
+        rescale = self.param("rescale", nn.initializers.ones, (self.heads, 1, 1))
+        wproj, bproj = _Proj(inner, self.dim, name="proj")()
+        pk0 = _Kern((3, 3, 1, self.dim), name="pos_emb_0")()
+        pk2 = _Kern((3, 3, 1, self.dim), name="pos_emb_2")()
+        if weights_only:
+            return {
+                "to_q": wq, "to_k": wk, "to_v": wv, "rescale": rescale,
+                "proj_kernel": wproj, "proj_bias": bproj,
+                "pos_emb_0": pk0, "pos_emb_2": pk2,
+            }
+
+        xf = x.reshape(b, n, c)
+        # one fused qkv matmul (single pass over x) instead of three Denses
         qkv = jnp.einsum("bnc,cd->bnd", xf, jnp.concatenate([wq, wk, wv], axis=1))
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -93,25 +122,26 @@ class MSMSA(nn.Module):
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
         k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
-        rescale = self.param("rescale", nn.initializers.ones, (self.heads, 1, 1))
         # attn = K @ Q^T over the pixel dimension: (b, heads, d, d)
         attn = jnp.einsum("bhdn,bhen->bhde", k, q)
         attn = attn * rescale
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhde,bhen->bhdn", attn, v)  # (b, heads, d, n)
         out = out.transpose(0, 3, 1, 2).reshape(b, n, inner)
-        out_c = nn.Dense(self.dim, use_bias=True, name="proj")(out).reshape(b, h, w, c)
+        out_c = (jnp.einsum("bnd,dc->bnc", out, wproj) + bproj).reshape(b, h, w, c)
 
         v_img = v.transpose(0, 3, 1, 2).reshape(b, n, inner).reshape(b, h, w, inner)
-        p = DWConv(self.dim, name="pos_emb_0")(v_img)
+        p = _dw_shift(v_img, pk0)
         p = _gelu(p)
-        p = DWConv(self.dim, name="pos_emb_2")(p)
+        p = _dw_shift(p, pk2)
         return out_c + p
 
 
-#: trace-time switch for the fused Pallas FFN path (ops/fused_mst.py). The
-#: kernel is inference-only (no VJP) and not GSPMD-partitionable, so train
-#: steps and sharded inference wrap their traces in ``no_fused_ffn()``.
+#: trace-time switch for the fused Pallas paths (ops/fused_msab.py,
+#: ops/fused_mst.py). The kernels are inference-only (no VJP) and not
+#: GSPMD-partitionable, so train steps and sharded inference wrap their
+#: traces in ``no_fused_ffn()`` (historical name; disables ALL fused
+#: MST kernels).
 _FUSED_FFN_OFF = [False]
 
 
@@ -124,13 +154,30 @@ class no_fused_ffn:
         _FUSED_FFN_OFF[0] = self._prev
 
 
+def _use_fused_msab() -> bool:
+    """Default-on for TPU inference (opt out: ANIMAL_VISION_FUSED_MSAB=0;
+    force-on under the CPU interpreter for tests:
+    ANIMAL_VISION_FUSED_MSAB=interpret). The megakernel keeps the whole
+    MSAB block resident in VMEM — see ops/fused_msab.py."""
+    import os
+
+    if _FUSED_FFN_OFF[0]:
+        return False
+    env = os.environ.get("ANIMAL_VISION_FUSED_MSAB", "1")
+    if env == "0":
+        return False
+    if jax.default_backend() == "cpu":
+        return env == "interpret"
+    return True
+
+
 def _use_fused_ffn() -> bool:
-    """Opt-in (ANIMAL_VISION_FUSED_FFN=1): the Pallas FFN kernel is exact
-    (matches float64 to ~2e-6 where the XLA path's default-precision bf16
-    matmuls drift ~1e-2) but measured ~1.5 ms/block vs 0.8 ms for XLA's own
-    fusion of the einsum+shift-add composition on v5e — per-invocation
-    pallas overhead dominates at this arithmetic intensity. Kept for
-    accuracy-critical runs and as groundwork for a full MSAB megakernel."""
+    """Opt-in (ANIMAL_VISION_FUSED_FFN=1): the Pallas FFN-only kernel is
+    exact (matches float64 to ~2e-6 where the XLA path's default-precision
+    bf16 matmuls drift ~1e-2) but measured ~1.5 ms/block vs 0.8 ms for XLA's
+    own fusion — per-invocation overhead dominates at this arithmetic
+    intensity. Superseded by the MSAB megakernel (ops/fused_msab.py); kept
+    for accuracy-critical runs."""
     import os
 
     if not os.environ.get("ANIMAL_VISION_FUSED_FFN"):
@@ -191,11 +238,13 @@ class FeedForward(nn.Module):
     mult: int = 4
 
     @nn.compact
-    def __call__(self, x, ln_scale=None, ln_bias=None):
+    def __call__(self, x, ln_scale=None, ln_bias=None, weights_only: bool = False):
         hidden = self.dim * self.mult
         w0 = _Kern((1, 1, self.dim, hidden), name="net_0")()
         dwk = _Kern((3, 3, 1, hidden), name="net_2")()
         w4 = _Kern((1, 1, hidden, self.dim), name="net_4")()
+        if weights_only:
+            return (w0, dwk, w4)
         prenorm = ln_scale is not None
         if prenorm and _use_fused_ffn() and x.ndim == 4:
             from animal_vision_tpu.ops.fused_mst import fused_msab_ffn
@@ -223,9 +272,23 @@ class MSAB(nn.Module):
     @nn.compact
     def __call__(self, x):  # NHWC
         for i in range(self.num_blocks):
-            x = MSMSA(self.dim, self.dim_head, self.heads, name=f"attn_{i}")(x) + x
-            scale, bias = _LN(self.dim, name=f"norm_{i}")()  # torch eps 1e-5
-            x = FeedForward(self.dim, name=f"ff_{i}")(x, scale, bias)
+            attn = MSMSA(self.dim, self.dim_head, self.heads, name=f"attn_{i}")
+            ln = _LN(self.dim, name=f"norm_{i}")  # torch eps 1e-5
+            ff = FeedForward(self.dim, name=f"ff_{i}")
+            if _use_fused_msab() and x.ndim == 4:
+                from animal_vision_tpu.ops.fused_msab import fused_msab_block
+
+                x = fused_msab_block(
+                    x,
+                    attn(x, weights_only=True),
+                    ln(),
+                    ff(x, weights_only=True),
+                    heads=self.heads,
+                )
+            else:
+                x = attn(x) + x
+                scale, bias = ln()
+                x = ff(x, scale, bias)
         return x
 
 

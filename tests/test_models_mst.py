@@ -394,3 +394,24 @@ def test_restormer_matches_torch():
         want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     got = np.asarray(mine.apply(variables, jnp.asarray(x)))
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_fused_msab_megakernel_matches_xla_path(monkeypatch):
+    """ops/fused_msab.py (interpret mode on CPU) vs the module's XLA path,
+    through the full 3-stage model (exercises heads 1/2/4 at the three
+    U-net levels) and at an odd shape (partial-tail row bands)."""
+    import jax
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.mst_plus_plus import MSTPlusPlus
+
+    rng = np.random.default_rng(11)
+    m = MSTPlusPlus()
+    for shape in [(1, 24, 40, 3), (2, 21, 37, 3)]:
+        x = jnp.asarray(rng.random(shape, dtype=np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("ANIMAL_VISION_FUSED_MSAB", "0")
+        ref = m.apply(params, x)
+        monkeypatch.setenv("ANIMAL_VISION_FUSED_MSAB", "interpret")
+        got = m.apply(params, x)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 5e-4, shape
