@@ -32,9 +32,59 @@ from animal_vision_tpu.service import processframe, processimage, processsplitim
 #: (Video.tsx:129-135) -> WebSocket /ws when available, else POST
 #: /getframe -> draw; species buttons + a 10 s /gettip poll
 #: (Video.tsx:137-152). No build step, no CDN deps (zero-egress friendly).
+#: web-app manifest + service worker make /ui installable as a PWA (parity:
+#: the reference uses vite-plugin-pwa, ui/vite.config.ts). The SW serves the
+#: app shell cache-first so the installed app opens offline.
+MANIFEST_JSON = json.dumps(
+    {
+        "name": "animal-vision-tpu",
+        "short_name": "animal-vision",
+        "start_url": "/ui",
+        "display": "standalone",
+        "background_color": "#ffffff",
+        "theme_color": "#2266aa",
+        "icons": [
+            {
+                "src": (
+                    "data:image/svg+xml,<svg xmlns='http://www.w3.org/2000/svg' "
+                    "viewBox='0 0 100 100'><text y='.9em' font-size='90'>"
+                    "%F0%9F%90%BE</text></svg>"
+                ),
+                "sizes": "any",
+                "type": "image/svg+xml",
+                "purpose": "any",
+            }
+        ],
+    }
+)
+
+SW_JS = """const CACHE = 'animal-vision-v1';
+const SHELL = ['/ui', '/manifest.webmanifest'];
+self.addEventListener('install', (e) => {
+  e.waitUntil(caches.open(CACHE).then((c) => c.addAll(SHELL)));
+  self.skipWaiting();
+});
+self.addEventListener('activate', (e) => { e.waitUntil(self.clients.claim()); });
+self.addEventListener('fetch', (e) => {
+  const url = new URL(e.request.url);
+  if (e.request.method === 'GET' && SHELL.includes(url.pathname)) {
+    e.respondWith(
+      caches.match(e.request).then((hit) => hit ||
+        fetch(e.request).then((resp) => {
+          const copy = resp.clone();
+          caches.open(CACHE).then((c) => c.put(e.request, copy));
+          return resp;
+        }))
+    );
+  }
+});
+"""
+
 UI_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>animal-vision-tpu</title>
 <meta name="viewport" content="width=device-width, initial-scale=1">
+<meta name="theme-color" content="#2266aa">
+<link rel="manifest" href="/manifest.webmanifest">
 <style>
  body{font-family:sans-serif;max-width:900px;margin:1rem auto;padding:0 1rem}
  nav button{font-size:1rem;padding:.45rem .9rem;margin-right:.4rem;border:1px solid #888;
@@ -124,11 +174,24 @@ async function pollTip(){
 }
 setInterval(()=>{ if(running) pollTip(); }, 10000);
 
+if ('serviceWorker' in navigator) navigator.serviceWorker.register('/sw.js');
+
 function grabFrame(){
+  // orientation-aware capture (parity: ui/src/Video.tsx:23-51) — rotate the
+  // hidden canvas by the screen orientation so the server sees upright
+  // frames on rotated phones/tablets.
   const v = document.getElementById('vid'), c = document.getElementById('grab');
   if (!v.videoWidth) return null;
-  c.width = v.videoWidth; c.height = v.videoHeight;
-  c.getContext('2d').drawImage(v, 0, 0);
+  const ang = (screen.orientation && screen.orientation.angle) || 0;
+  const rot = ((ang % 360) + 360) % 360;
+  if (rot === 90 || rot === 270) { c.width = v.videoHeight; c.height = v.videoWidth; }
+  else { c.width = v.videoWidth; c.height = v.videoHeight; }
+  const g = c.getContext('2d');
+  g.save();
+  g.translate(c.width/2, c.height/2);
+  g.rotate(rot * Math.PI / 180);
+  g.drawImage(v, -v.videoWidth/2, -v.videoHeight/2);
+  g.restore();
   return c.toDataURL('image/jpeg', 0.8);
 }
 let inflight = false;
@@ -212,6 +275,54 @@ def gettip(animal: str) -> str:
         return ""
 
 
+class StreamHub:
+    """Transport-agnostic core of the Socket.IO streaming path
+    (server.py:28-68): per-client bounded queues drained by one loop that
+    processes frames and emits results. The ASGI app binds it to
+    python-socketio; tests drive it with a fake emit so the queue/drain
+    semantics are exercised without socketio installed (the reference's
+    pattern, where ``connect`` is defined twice and the queue init never
+    runs, is fixed here)."""
+
+    def __init__(self, maxlen: int = 100, process=None):
+        self.conns: dict[str, collections.deque] = {}
+        self.maxlen = maxlen
+        self.process = process or processimage
+
+    def connect(self, sid: str) -> None:
+        self.conns[sid] = collections.deque(maxlen=self.maxlen)
+
+    def disconnect(self, sid: str) -> None:
+        self.conns.pop(sid, None)
+
+    def enqueue(self, sid: str, image, animal: str) -> None:
+        # lazily create like the reference's sendimage (server.py:39-40) so
+        # an enqueue racing a reconnect never KeyErrors
+        self.conns.setdefault(sid, collections.deque(maxlen=self.maxlen)).append(
+            (image, animal)
+        )
+
+    async def drain_once(self, emit) -> bool:
+        """Process at most one frame per connected client; returns whether
+        any work was done. ``emit(event, payload, sid)`` is awaited."""
+        busy = False
+        for sid, q in list(self.conns.items()):
+            if q:
+                image, animal = q.popleft()
+                busy = True
+                try:
+                    uri = self.process(image, animal)
+                    await emit("getimage", {"image": uri}, sid)
+                except Exception as e:  # parity: loop survives bad frames
+                    await emit("error", {"error": str(e)}, sid)
+        return busy
+
+    async def drain_loop(self, emit, idle_sleep: float = 0.005) -> None:
+        while True:
+            if not await self.drain_once(emit):
+                await asyncio.sleep(idle_sleep)
+
+
 def build_asgi_app():
     """FastAPI + python-socketio app (requires those packages)."""
     import socketio
@@ -221,7 +332,7 @@ def build_asgi_app():
     sio = socketio.AsyncServer(async_mode="asgi", cors_allowed_origins="*")
     app = socketio.ASGIApp(sio, api)
 
-    conns: dict[str, collections.deque] = {}
+    hub = StreamHub()
     drain_started = False
 
     @api.get("/")
@@ -233,6 +344,18 @@ def build_asgi_app():
         from fastapi.responses import HTMLResponse
 
         return HTMLResponse(ui_page())
+
+    @api.get("/manifest.webmanifest")
+    async def manifest():
+        from fastapi.responses import Response
+
+        return Response(MANIFEST_JSON, media_type="application/manifest+json")
+
+    @api.get("/sw.js")
+    async def sw():
+        from fastapi.responses import Response
+
+        return Response(SW_JS, media_type="text/javascript")
 
     @api.post("/getpic")
     async def getpic(request: Request):
@@ -269,36 +392,24 @@ def build_asgi_app():
         except WebSocketDisconnect:
             pass
 
-    async def drain():
-        while True:
-            busy = False
-            for sid, q in list(conns.items()):
-                if q:
-                    image, animal = q.popleft()
-                    busy = True
-                    try:
-                        uri = processimage(image, animal)
-                        await sio.emit("getimage", {"image": uri}, to=sid)
-                    except Exception as e:  # parity: loop survives bad frames
-                        await sio.emit("error", {"error": str(e)}, to=sid)
-            if not busy:
-                await asyncio.sleep(0.005)
+    async def _emit(event, payload, sid):
+        await sio.emit(event, payload, to=sid)
 
     @sio.event
     async def connect(sid, environ):
         nonlocal drain_started
-        conns[sid] = collections.deque(maxlen=100)
+        hub.connect(sid)
         if not drain_started:
             drain_started = True
-            sio.start_background_task(drain)
+            sio.start_background_task(hub.drain_loop, _emit)
 
     @sio.event
     async def disconnect(sid):
-        conns.pop(sid, None)
+        hub.disconnect(sid)
 
     @sio.event
     async def sendimage(sid, image, animal):
-        conns.setdefault(sid, collections.deque(maxlen=100)).append((image, animal))
+        hub.enqueue(sid, image, animal)
 
     return app
 
@@ -340,6 +451,12 @@ def run(host: str = "0.0.0.0", port: int = 8000) -> None:
             if self.path.rstrip("/") == "/ui":
                 body = ui_page().encode()
                 ctype = "text/html"
+            elif self.path == "/manifest.webmanifest":
+                body = MANIFEST_JSON.encode()
+                ctype = "application/manifest+json"
+            elif self.path == "/sw.js":
+                body = SW_JS.encode()
+                ctype = "text/javascript"
             else:
                 body = b"animal-vision-tpu server (stdlib fallback)"
                 ctype = "text/plain"

@@ -163,3 +163,68 @@ def test_stdlib_server_getframe(img_u8):
         "/getframe", json.dumps({"image": url, "animal": "lion"}).encode()
     )
     assert code == 200 and payload["image"].startswith("data:image/jpeg")
+
+
+def test_stream_hub_queue_and_drain():
+    """The Socket.IO sendimage->getimage core (server.py:28-68) without
+    socketio installed: per-sid bounded queues, round-robin drain, error
+    frames survive, disconnect drops the queue."""
+    import asyncio
+
+    from animal_vision_tpu.server.app import StreamHub
+
+    calls = []
+
+    def fake_process(image, animal):
+        if animal == "boom":
+            raise ValueError("bad frame")
+        return f"uri:{image}:{animal}"
+
+    hub = StreamHub(maxlen=3, process=fake_process)
+    emitted = []
+
+    async def emit(event, payload, sid):
+        emitted.append((event, payload, sid))
+
+    async def scenario():
+        hub.connect("a")
+        hub.enqueue("a", "f1", "dog")
+        hub.enqueue("a", "f2", "boom")
+        hub.enqueue("b", "f3", "cat")  # lazy-create (reference parity)
+        # bounded queue: overflow drops oldest
+        for i in range(5):
+            hub.enqueue("c", f"x{i}", "dog")
+        assert len(hub.conns["c"]) == 3
+        assert await hub.drain_once(emit) is True   # one frame per client
+        assert await hub.drain_once(emit) is True
+        while await hub.drain_once(emit):
+            pass
+        assert await hub.drain_once(emit) is False  # idle
+        hub.disconnect("a")
+        assert "a" not in hub.conns
+
+    asyncio.run(scenario())
+    events = [(e, s) for e, _, s in emitted]
+    assert ("getimage", "a") in events
+    assert ("error", "a") in events          # boom frame survived the loop
+    assert ("getimage", "b") in events
+    assert events.count(("getimage", "c")) == 3  # oldest two dropped
+    by_sid_a = [p for e, p, s in emitted if s == "a" and e == "getimage"]
+    assert by_sid_a[0]["image"] == "uri:f1:dog"
+
+
+def test_pwa_manifest_sw_and_rotation_hooks():
+    """PWA parity (ui/vite.config.ts + ui/src/Video.tsx:23-51): manifest +
+    service worker routes exist and the UI registers/rotates."""
+    import json as _json
+
+    from animal_vision_tpu.server.app import MANIFEST_JSON, SW_JS, ui_page
+
+    man = _json.loads(MANIFEST_JSON)
+    assert man["display"] == "standalone" and man["start_url"] == "/ui"
+    assert man["icons"]
+    assert "caches.open" in SW_JS and "fetch" in SW_JS
+    page = ui_page()
+    assert 'rel="manifest"' in page
+    assert "serviceWorker" in page and "/sw.js" in page
+    assert "screen.orientation" in page and "rotate(" in page
