@@ -103,8 +103,9 @@ def validate(
             sums["psnr"] += float(metrics.psnr(pj, gj, data_range=255.0))
             continue
         pred = np.asarray(apply_fn(rgb))
-        p = pred[crop:-crop, crop:-crop] if min(pred.shape[:2]) > 2 * crop else pred
-        g = gt[crop:-crop, crop:-crop] if min(gt.shape[:2]) > 2 * crop else gt
+        # crop=0 must mean "no crop" ([0:-0] would slice to empty)
+        p = pred[crop:-crop, crop:-crop] if 0 < 2 * crop < min(pred.shape[:2]) else pred
+        g = gt[crop:-crop, crop:-crop] if 0 < 2 * crop < min(gt.shape[:2]) else gt
         pj, gj = jnp.asarray(p[None]), jnp.asarray(g[None])
         sums["mrae"] += float(metrics.mrae(pj, gj))
         sums["rmse"] += float(metrics.rmse(pj, gj))

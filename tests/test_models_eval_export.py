@@ -209,3 +209,17 @@ def test_stablehlo_export_roundtrip():
     # agreement is float-reassociation-level, not bitwise
     np.testing.assert_allclose(got, want, atol=5e-3)
     assert np.mean((got - want) ** 2) < 1e-7
+
+
+def test_train_checkpoint_resume_eval_compose():
+    """Convergence demo (VERDICT round-1 #5): small MST++ trained on
+    synthetic analytic-HSI scenes gains >= +6 dB held-out PSNR over init,
+    with an Orbax checkpoint + resume at the midpoint and the eval harness
+    scoring the held-out scene — train/ckpt/eval compose end to end."""
+    from animal_vision_tpu.models.train import convergence_demo
+
+    out = convergence_demo(steps=40)
+    assert out["resumed_step"] == 40  # step counter survived the restore
+    assert out["loss_last"] < out["loss_first"] * 0.5
+    gain = out["psnr_final"] - out["psnr_init"]
+    assert gain >= 6.0, out
