@@ -63,6 +63,14 @@ def main(argv=None) -> None:
     ap.add_argument("--ckpt", default=None, help="torch .pth to convert first")
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=256)
+    ap.add_argument(
+        "--to-torch",
+        action="store_true",
+        help="also save a reference-layout torch .pth (mst_plus_plus only) — "
+        "loads into the reference model and through its ONNX export CLI "
+        "(predict_code/compile.py, opset 17); the onnx package itself is "
+        "not available in this environment",
+    )
     args = ap.parse_args(argv)
 
     from animal_vision_tpu.models.zoo import model_generator
@@ -74,7 +82,20 @@ def main(argv=None) -> None:
     hlo_path = os.path.join(args.out, f"{args.method}_{args.height}x{args.width}.stablehlo")
     with open(hlo_path, "wb") as f:
         f.write(blob)
-    print(f"saved orbax checkpoint + {len(blob)} bytes StableHLO -> {args.out}")
+    extra = ""
+    if args.to_torch:
+        import torch
+
+        from animal_vision_tpu.models.mst_plus_plus import export_torch_state
+
+        sd = {
+            k: torch.from_numpy(v.copy())
+            for k, v in export_torch_state(variables).items()
+        }
+        pth = os.path.join(args.out, f"{args.method}.pth")
+        torch.save({"state_dict": sd}, pth)
+        extra = f" + torch state_dict {pth}"
+    print(f"saved orbax checkpoint + {len(blob)} bytes StableHLO -> {args.out}{extra}")
 
 
 if __name__ == "__main__":

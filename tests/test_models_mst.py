@@ -415,3 +415,35 @@ def test_fused_msab_megakernel_matches_xla_path(monkeypatch):
         monkeypatch.setenv("ANIMAL_VISION_FUSED_MSAB", "interpret")
         got = m.apply(params, x)
         assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 5e-4, shape
+
+
+def test_export_torch_state_roundtrip(torch_ref):
+    """flax -> torch state_dict -> flax roundtrips exactly, and the
+    exported dict strict-loads into the reference torch module — the
+    bridge to the reference's own ONNX export CLI (compile.py:127-151),
+    since no onnx package exists in this env."""
+    import jax
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.models.mst_plus_plus import (
+        MSTPlusPlus,
+        convert_torch_state,
+        export_torch_state,
+    )
+
+    m = MSTPlusPlus()
+    variables = m.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)))
+    sd = export_torch_state(variables)
+    back = convert_torch_state({k: np.asarray(v) for k, v in sd.items()})
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    for k, v in flat_a:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(flat_b[ks]), rtol=0, atol=0, err_msg=ks)
+
+    torch, ref = torch_ref
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, strict=False
+    )
+    assert not unexpected, unexpected
+    assert not missing, missing
