@@ -32,17 +32,54 @@ IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv")
 
 
+def fuzzy_filter(query: str, options: list[str]) -> list[str]:
+    """Dependency-free fuzzy match (parity for the InquirerPy fuzzy prompts,
+    utils.py:339-366,391-438): an option matches when the query's characters
+    appear in order (case-insensitive); ranked by (earlier first-hit,
+    tighter span, shorter option)."""
+    q = query.lower()
+    scored = []
+    for opt in options:
+        hay = opt.lower()
+        pos = -1
+        first = last = None
+        ok = True
+        for ch in q:
+            pos = hay.find(ch, pos + 1)
+            if pos < 0:
+                ok = False
+                break
+            first = pos if first is None else first
+            last = pos
+        if ok:
+            span = 0 if first is None else last - first
+            scored.append(((first or 0, span, len(opt)), opt))
+    return [opt for _, opt in sorted(scored)]
+
+
 def _menu(title: str, options: list[str]) -> str:
+    """Numbered menu + fuzzy filtering: a number picks, an exact name picks,
+    any other text fuzzy-narrows the list (single survivor auto-picks)."""
     print(title)
-    for i, opt in enumerate(options, 1):
+    shown = options
+    for i, opt in enumerate(shown, 1):
         print(f"  {i}. {opt}")
     while True:
         raw = input("> ").strip()
-        if raw.isdigit() and 1 <= int(raw) <= len(options):
-            return options[int(raw) - 1]
+        if raw.isdigit() and 1 <= int(raw) <= len(shown):
+            return shown[int(raw) - 1]
         if raw in options:
             return raw
-        print(f"pick 1..{len(options)}")
+        matches = fuzzy_filter(raw, options) if raw else []
+        if len(matches) == 1:
+            return matches[0]
+        if matches:
+            shown = matches
+            for i, opt in enumerate(shown, 1):
+                print(f"  {i}. {opt}")
+            print("(filtered; pick a number, refine, or type the full name)")
+        else:
+            print(f"pick 1..{len(shown)} or type to filter")
 
 
 def choose_file(directory: str, exts: tuple[str, ...], given: str | None) -> str:

@@ -228,3 +228,30 @@ def test_pwa_manifest_sw_and_rotation_hooks():
     assert 'rel="manifest"' in page
     assert "serviceWorker" in page and "/sw.js" in page
     assert "screen.orientation" in page and "rotate(" in page
+
+
+def test_fuzzy_filter_and_menu(monkeypatch, capsys):
+    """Dependency-free fuzzy picker (parity: InquirerPy fuzzy prompts,
+    utils.py:339-438)."""
+    from animal_vision_tpu.cli import _menu, fuzzy_filter
+
+    opts = ["dog", "goldfish", "dragonfly", "jumping_spider", "goat"]
+    assert fuzzy_filter("dg", opts)[0] == "dog"  # in-order subsequence
+    assert "dragonfly" in fuzzy_filter("dg", opts)
+    assert fuzzy_filter("gf", opts) == ["goldfish", "dragonfly"]
+    assert fuzzy_filter("zzz", opts) == []
+
+    # 'dgf' uniquely matches dragonfly -> auto-pick
+    feed = iter(["dgf"])
+    monkeypatch.setattr("builtins.input", lambda *a: next(feed))
+    assert _menu("t", opts) == "dragonfly"
+
+    # 'gf' narrows to two, then number picks from the FILTERED list
+    feed = iter(["gf", "2"])
+    monkeypatch.setattr("builtins.input", lambda *a: next(feed))
+    assert _menu("t", opts) == "dragonfly"
+
+    # exact name always wins
+    feed = iter(["goat"])
+    monkeypatch.setattr("builtins.input", lambda *a: next(feed))
+    assert _menu("t", opts) == "goat"
