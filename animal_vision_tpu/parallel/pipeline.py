@@ -115,7 +115,7 @@ def mst_plus_plus_pp_forward(module, variables, mesh, x, n_micro: int = 4, axis=
     the batch is split into ``n_micro`` microbatches that stream through
     the stage pipeline.
     """
-    from animal_vision_tpu.models.mst_plus_plus import MST
+    from animal_vision_tpu.models.mst_plus_plus import MST, no_fused_ffn
 
     params = variables["params"]
     b, h_inp, w_inp, _ = x.shape
@@ -133,7 +133,8 @@ def mst_plus_plus_pp_forward(module, variables, mesh, x, n_micro: int = 4, axis=
 
     stacked, flags = mst_stage_params(variables, n_stages=3, pp=mesh.shape[axis])
     micro = feat.reshape((n_micro, b // n_micro) + feat.shape[1:])
-    body = pipeline_apply(stage_fn, stacked, flags, micro, mesh, axis)
+    with no_fused_ffn():  # Pallas kernels are not shard_map-partitionable
+        body = pipeline_apply(stage_fn, stacked, flags, micro, mesh, axis)
     body = body.reshape(feat.shape)
 
     out = jax.lax.conv_general_dilated(

@@ -27,6 +27,14 @@ class Morpho(UVAnimal):
     center_clarity = 0.25
     vignette_softness = 7.0
     vignette_radius = 0.82
+    #: Reference parity (animals/morpho.py:120-135) derives the hue shift
+    #: from atan2 of Sobel gradients with NO magnitude gate, so on flat
+    #: regions the orientation is the arctangent of numerical noise
+    #: (PARITY.md "Chaotic sensitivity"). Setting a gate (e.g. 1e-3)
+    #: softens the shift toward its neutral midpoint where the local
+    #: gradient energy is below it — deterministic on flat images, visually
+    #: identical on textured ones. None keeps exact reference behavior.
+    orientation_gate: float | None = None
 
     def _band_specs(self):
         return [(320.0, 400.0), (440.0, 500.0), (500.0, 570.0)]
@@ -39,9 +47,22 @@ class Morpho(UVAnimal):
         gy = gradients.sobel_y(bv)
         ori = jnp.arctan2(gy, gx)
         align = 0.5 * (1.0 + jnp.cos(2.0 * ori))
+        if self.orientation_gate is not None:
+            # safe_norm amplifies ANY texture (even numerical noise) to full
+            # scale, so the gate must read the RAW band's dynamic range:
+            # genuinely flat frames fade the hue shift to its neutral
+            # midpoint instead of amplifying noise orientations.
+            raw_range = jnp.max(maps[..., 1]) - jnp.min(maps[..., 1])
+            gate = jnp.clip(raw_range / self.orientation_gate, 0.0, 1.0)
+            align = 0.5 + gate * (align - 0.5)
 
         gloss = blur.gaussian_blur_uv(u, self.gloss_sigma)
         gloss = jnp.clip(gloss / (percentile(gloss, 95.0) + 1e-8), 0.0, 1.0)
+        if self.orientation_gate is not None:
+            # same raw-range principle for the UV gloss: no real UV texture
+            # -> no noise-driven sheen (safe_norm would amplify it).
+            u_range = jnp.max(maps[..., 0]) - jnp.min(maps[..., 0])
+            gloss = gloss * jnp.clip(u_range / self.orientation_gate, 0.0, 1.0)
 
         shift_cyan = self.hue_shift_strength * align
         shift_deep = self.hue_shift_strength * (1.0 - align)

@@ -159,3 +159,36 @@ def test_registry_covers_all_36():
     assert len(all_names) == 36
     for n in all_names:
         assert get_animal(n) is not None
+
+
+def test_morpho_orientation_gate_determinism(img_u8):
+    """orientation_gate makes genuinely flat frames deterministic: the
+    ungated reference path (PARITY.md "Chaotic sensitivity") amplifies
+    sub-visible noise into arbitrary hue orientations because safe_norm
+    rescales any texture to full range; the gate reads the RAW band's
+    dynamic range and fades the shift to neutral on flat frames."""
+    from animal_vision_tpu.species.uv.morpho import Morpho
+
+    rng = np.random.default_rng(0)
+    base = np.full((48, 64, 3), 0.5, np.float32)
+    n1 = np.clip(base + rng.normal(0, 2e-4, base.shape), 0, 1).astype(np.float32)
+    n2 = np.clip(base + rng.normal(0, 2e-4, base.shape), 0, 1).astype(np.float32)
+
+    ungated = Morpho()
+    _, a0 = ungated.visualize(n1)
+    _, b0 = ungated.visualize(n2)
+    d0 = float(np.abs(a0.astype(np.float64) - b0.astype(np.float64)).mean())
+
+    gated = Morpho()
+    gated.orientation_gate = 1e-2
+    _, a1 = gated.visualize(n1)
+    _, b1 = gated.visualize(n2)
+    d1 = float(np.abs(a1.astype(np.float64) - b1.astype(np.float64)).mean())
+    assert d1 < d0 * 0.2, (d0, d1)  # noise no longer steers the hue
+
+    # textured input: gated ~= ungated (gate saturates open)
+    _, t0 = ungated.visualize(img_u8)
+    _, t1 = gated.visualize(img_u8)
+    mse = np.mean((t0.astype(float) - t1.astype(float)) ** 2)
+    p = 10 * np.log10(255**2 / max(1e-9, mse))
+    assert p > 35.0, p
