@@ -154,11 +154,18 @@ class no_fused_ffn:
         _FUSED_FFN_OFF[0] = self._prev
 
 
-def _use_fused_msab() -> bool:
-    """Default-on for TPU inference (opt out: ANIMAL_VISION_FUSED_MSAB=0;
-    force-on under the CPU interpreter for tests:
-    ANIMAL_VISION_FUSED_MSAB=interpret). The megakernel keeps the whole
-    MSAB block resident in VMEM — see ops/fused_msab.py."""
+#: measured crossover on v5e: the megakernel wins above ~512x512 (full-res
+#: 1080p: 310 vs 801 ms; 720p: 138 vs 211; 512x512: 39 vs 41) while XLA's
+#: fusion is marginally better at the reference's 0.25-scale point
+#: (270x480: 18.4 vs 20 ms) where per-kernel overheads dominate.
+_FUSED_MIN_PIXELS = 250_000
+
+
+def _use_fused_msab(n_pixels: int | None = None) -> bool:
+    """Default-on for large-frame TPU inference (opt out:
+    ANIMAL_VISION_FUSED_MSAB=0; force-on regardless of backend/size for
+    tests: ANIMAL_VISION_FUSED_MSAB=interpret). The megakernel keeps the
+    whole MSAB block resident in VMEM — see ops/fused_msab.py."""
     import os
 
     if _FUSED_FFN_OFF[0]:
@@ -166,9 +173,11 @@ def _use_fused_msab() -> bool:
     env = os.environ.get("ANIMAL_VISION_FUSED_MSAB", "1")
     if env == "0":
         return False
+    if env == "interpret":
+        return True
     if jax.default_backend() == "cpu":
-        return env == "interpret"
-    return True
+        return False
+    return n_pixels is None or n_pixels >= _FUSED_MIN_PIXELS
 
 
 def _use_fused_ffn() -> bool:
@@ -275,7 +284,7 @@ class MSAB(nn.Module):
             attn = MSMSA(self.dim, self.dim_head, self.heads, name=f"attn_{i}")
             ln = _LN(self.dim, name=f"norm_{i}")  # torch eps 1e-5
             ff = FeedForward(self.dim, name=f"ff_{i}")
-            if _use_fused_msab() and x.ndim == 4:
+            if x.ndim == 4 and _use_fused_msab(int(x.shape[1]) * int(x.shape[2])):
                 from animal_vision_tpu.ops.fused_msab import fused_msab_block
 
                 x = fused_msab_block(

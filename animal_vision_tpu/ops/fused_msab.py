@@ -67,13 +67,20 @@ def _gelu(x):
     return 0.5 * x * (1.0 + _erf(x * (1.0 / np.sqrt(2.0))))
 
 
+def _precision():
+    """Default (bf16-input, f32-accumulate) matches the XLA path's einsum
+    behavior and is ~35% faster end to end; ANIMAL_VISION_MSAB_PRECISION=
+    highest forces the f32 algorithm (for accuracy studies — on CPU the
+    interpreter is exact f32 either way)."""
+    import os
+
+    if os.environ.get("ANIMAL_VISION_MSAB_PRECISION") == "highest":
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def _dot(a, b):
-    # HIGHEST: Mosaic's default truncates matmul inputs to bf16 (~1e-2
-    # drift); the f32 algorithm costs ~6 bf16 passes but the kernels are
-    # HBM-bound, so the MXU passes are free.
-    return jnp.dot(
-        a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_precision())
 
 
 def _dw3(src, k9):
@@ -110,7 +117,7 @@ def _stats_kernel(x_ref, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, *, t, w, c, h):
     g = jax.lax.dot_general(
         k, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision(),
     )  # (C, C): G[d, e] = sum_n k[n, d] q[n, e]
     sq = jnp.sum(q * q, axis=0).reshape(1, c)
     sk = jnp.sum(k * k, axis=0).reshape(1, c)
@@ -177,7 +184,7 @@ def _attn_blockdiag(g, sq, sk, rescale, heads):
 
 
 def _apply_kernel(
-    x_ref, abd_ref, wv_ref, wp_ref, bp_ref, pk0_ref, pk2_ref,
+    x_ref, wva_ref, bp_ref, pk0_ref, pk2_ref,
     lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, o_ref, a_scr, b_scr,
     *, t, w, c, h,
 ):
@@ -193,7 +200,11 @@ def _apply_kernel(
     b_scr[...] = a_scr[t - 3 :]
     a_scr[...] = cur
 
-    v3 = _dot(win.reshape((t + 6) * w, c), wv_ref[...]).reshape(t + 6, w, c)
+    # one matmul yields BOTH V and the attention-applied+projected output:
+    # wva = [Wv | Wv @ blockdiag(attn) @ Wproj] (attention apply and proj
+    # fold into the projection because they are per-pixel linear maps).
+    both = _dot(win.reshape((t + 6) * w, c), wva_ref[...]).reshape(t + 6, w, 2 * c)
+    v3 = both[:, :, :c]
     g1 = _gelu(_dw3(v3, pk0_ref[...]))  # rows win[1:T+5]
     # zero-pad parity: the inner pos_emb conv has no output beyond the
     # image; the outer conv zero-pads there — mask rows outside [0, H).
@@ -201,9 +212,7 @@ def _apply_kernel(
     g1 = jnp.where((gig >= 0) & (gig < h), g1, 0.0)
     p = _dw3(g1, pk2_ref[...])  # rows win[2:T+4]
 
-    vh = v3[2 : t + 4].reshape((t + 2) * w, c)
-    oa = _dot(vh, abd_ref[...])  # block-diag attention apply
-    attnout = (_dot(oa, wp_ref[...]) + bp_ref[...]).reshape(t + 2, w, c) + p
+    attnout = both[2 : t + 4, :, c:] + bp_ref[0] + p
     res1 = attnout + win[2 : t + 4]
 
     mu = jnp.mean(res1, axis=-1, keepdims=True)
@@ -222,7 +231,7 @@ def _apply_kernel(
     o_ref[...] = out + res1[1 : t + 1]
 
 
-def _apply(x, abd, wv, wp, bp, pk0, pk2, lns, lnb, w0, dwk, w4, t):
+def _apply(x, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4, t):
     h, w, c = int(x.shape[0]), int(x.shape[1]), int(x.shape[2])
     n = -(-h // t)
     return pl.pallas_call(
@@ -230,9 +239,7 @@ def _apply(x, abd, wv, wp, bp, pk0, pk2, lns, lnb, w0, dwk, w4, t):
         grid=(n + 1,),
         in_specs=[
             pl.BlockSpec((t, w, c), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 2 * c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((9, c), lambda i: (0, 0)),
             pl.BlockSpec((9, c), lambda i: (0, 0)),
@@ -250,7 +257,7 @@ def _apply(x, abd, wv, wp, bp, pk0, pk2, lns, lnb, w0, dwk, w4, t):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(x, abd, wv, wp, bp, pk0, pk2, lns, lnb, w0, dwk, w4)
+    )(x, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4)
 
 
 def _pick_t(h: int, c: int) -> int:
@@ -290,7 +297,8 @@ def fused_msab_block(x, attn_w, ln_w, ffn_w, *, heads):
         img = x[bi].astype(jnp.float32)
         g, sq, sk = _attn_stats(img, wq, wk, t)
         abd = _attn_blockdiag(g, sq, sk, rescale, heads)
-        outs.append(
-            _apply(img, abd, wv, wp, bp, pk0, pk2, lns, lnb, w0, dwk, w4, t)
-        )
+        # fold attention-apply + proj into the V projection (all per-pixel
+        # linear): one (C, 2C) matmul in the kernel yields V and attnout.
+        wva = jnp.concatenate([wv, wv @ abd @ wp], axis=1)
+        outs.append(_apply(img, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4, t))
     return jnp.stack(outs, axis=0)

@@ -176,5 +176,120 @@ def main():
         sys.stdout.flush()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and False:
     main()
+
+
+def kernel_abl(x_ref, wva_ref, bp_ref, pk0_ref, pk2_ref, lns_ref, lnb_ref,
+               w0_ref, dwk_ref, w4_ref, o_ref, a_scr, b_scr, *, t, dot, gelu_mode, dw_mode):
+    from jax.experimental.pallas import tpu as pltpu2
+    i = pl.program_id(0)
+    cur = x_ref[...]
+    ti = i - 1
+    win = jnp.concatenate([b_scr[...], a_scr[...], cur[:3]], axis=0)
+    gi = ti * t - 3 + jax.lax.broadcasted_iota(jnp.int32, (t + 6, 1, 1), 0)
+    win = jnp.where((gi >= 0) & (gi < H), win, 0.0)
+    b_scr[...] = a_scr[t - 3 :]
+    a_scr[...] = cur
+
+    if gelu_mode == "exact":
+        g = _gelu
+    elif gelu_mode == "cheap":
+        # one-exp logistic: gelu(x) ~= x * sigmoid(1.702x) -- NOT parity, cost probe
+        g = lambda v: v / (1.0 + jnp.exp(-1.702 * v))
+    else:
+        g = lambda v: v
+
+    if dw_mode == "nodw":
+        dw3 = lambda src, k9: src[1 : src.shape[0] - 1] * k9[4]
+    elif dw_mode == "roll":
+        def dw3(src, k9):
+            rr = src.shape[0] - 2
+            w = src.shape[1]
+            col = jax.lax.broadcasted_iota(jnp.int32, (rr, w, src.shape[2]), 1)
+            out = None
+            for dy in range(3):
+                band = src[dy : dy + rr]
+                acc = band * k9[dy * 3 + 1]
+                left = pltpu2.roll(band, 1 % w, 1)   # src[x-1] circular
+                right = pltpu2.roll(band, (w - 1) % w, 1)
+                left = jnp.where(col == 0, 0.0, left)
+                right = jnp.where(col == w - 1, 0.0, right)
+                acc = acc + k9[dy * 3 + 0] * left + k9[dy * 3 + 2] * right
+                out = acc if out is None else out + acc
+            return out
+    else:
+        dw3 = _dw3
+
+    both = dot(win.reshape((t + 6) * W, C), wva_ref[...])
+    b3 = both.reshape(t + 6, W, 2 * C)
+    v3 = b3[:, :, :C]
+    ap3 = b3[2 : t + 4, :, C:]
+    g1 = g(dw3(v3, pk0_ref[...]))
+    gig = ti * t - 2 + jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0)
+    g1 = jnp.where((gig >= 0) & (gig < H), g1, 0.0)
+    p = dw3(g1, pk2_ref[...])
+    res1 = ap3 + bp_ref[0] + p + win[2 : t + 4]
+    mu = jnp.mean(res1, axis=-1, keepdims=True)
+    var = jnp.mean((res1 - mu) ** 2, axis=-1, keepdims=True)
+    y = (res1 - mu) * jax.lax.rsqrt(var + 1e-5) * lns_ref[0] + lnb_ref[0]
+    hidden = g(dot(y.reshape((t + 2) * W, C), w0_ref[...])).reshape(t + 2, W, 4 * C)
+    gih = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
+    hidden = jnp.where((gih >= 0) & (gih < H), hidden, 0.0)
+    hd = g(dw3(hidden, dwk_ref[...]))
+    out = dot(hd.reshape(t * W, 4 * C), w4_ref[...]).reshape(t, W, C)
+    o_ref[...] = out + res1[1 : t + 1]
+
+
+def build_abl(t, gelu_mode, dw_mode):
+    dot = make_dot("default")
+    n = -(-H // t)
+
+    def call(x, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4):
+        return pl.pallas_call(
+            functools.partial(kernel_abl, t=t, dot=dot, gelu_mode=gelu_mode, dw_mode=dw_mode),
+            grid=(n + 1,),
+            in_specs=[
+                pl.BlockSpec((t, W, C), lambda i: (jnp.minimum(i, n - 1), 0, 0)),
+                pl.BlockSpec((C, 2 * C), lambda i: (0, 0)),
+                pl.BlockSpec((1, C), lambda i: (0, 0)),
+                pl.BlockSpec((9, C), lambda i: (0, 0)),
+                pl.BlockSpec((9, C), lambda i: (0, 0)),
+                pl.BlockSpec((1, C), lambda i: (0, 0)),
+                pl.BlockSpec((1, C), lambda i: (0, 0)),
+                pl.BlockSpec((C, 4 * C), lambda i: (0, 0)),
+                pl.BlockSpec((9, 4 * C), lambda i: (0, 0)),
+                pl.BlockSpec((4 * C, C), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((t, W, C), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((H, W, C), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((t, W, C), jnp.float32),
+                pltpu.VMEM((3, W, C), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=115 * 1024 * 1024),
+        )(x, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4).reshape(H, W * C)
+
+    return jax.jit(call)
+
+
+def main_abl():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32) * 0.3)
+    def mk(*s, scale=0.2):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * scale)
+    wva = mk(C, 2 * C)
+    bp, pk0, pk2 = mk(1, C), mk(9, C), mk(9, C)
+    lns, lnb = jnp.ones((1, C)), jnp.zeros((1, C))
+    w0, dwk, w4 = mk(C, 4 * C), mk(9, 4 * C), mk(4 * C, C)
+    for tt, gm, dm in [(16, "exact", "concat"), (24, "exact", "concat"), (32, "exact", "concat"), (16, "cheap", "concat")]:
+        try:
+            fn = build_abl(tt, gm, dm)
+            ms = timeit(fn, x, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4)
+            print(f"t={tt} gelu={gm:6s} dw={dm:6s}: {ms:6.2f} ms")
+        except Exception as e:
+            print(f"t={tt} gelu={gm:6s} dw={dm:6s}: FAILED {str(e)[:150]}")
+        sys.stdout.flush()
+
+if __name__ == "__main__":
+    main_abl()
