@@ -279,30 +279,56 @@ class MSAB(nn.Module):
     num_blocks: int
 
     @nn.compact
-    def __call__(self, x):  # NHWC
+    def __call__(self, x, weights_only: bool = False):  # NHWC
+        if weights_only:
+            dummy = jnp.zeros((1, 1, 1, self.dim), jnp.float32)
+            return [
+                {
+                    "attn": MSMSA(
+                        self.dim, self.dim_head, self.heads, name=f"attn_{i}"
+                    )(dummy, weights_only=True),
+                    "ln": _LN(self.dim, name=f"norm_{i}")(),
+                    "ffn": FeedForward(self.dim, name=f"ff_{i}")(
+                        dummy, weights_only=True
+                    ),
+                }
+                for i in range(self.num_blocks)
+            ]
         for i in range(self.num_blocks):
             attn = MSMSA(self.dim, self.dim_head, self.heads, name=f"attn_{i}")
             ln = _LN(self.dim, name=f"norm_{i}")  # torch eps 1e-5
             ff = FeedForward(self.dim, name=f"ff_{i}")
-            if x.ndim == 4 and _use_fused_msab(int(x.shape[1]) * int(x.shape[2])):
-                from animal_vision_tpu.ops.fused_msab import fused_msab_block
-
-                x = fused_msab_block(
-                    x,
-                    attn(x, weights_only=True),
-                    ln(),
-                    ff(x, weights_only=True),
-                    heads=self.heads,
-                )
-            else:
-                x = attn(x) + x
-                scale, bias = ln()
-                x = ff(x, scale, bias)
+            x = attn(x) + x
+            scale, bias = ln()
+            x = ff(x, scale, bias)
         return x
 
 
+def _conv_nhwc(x, kernel, strides=(1, 1), padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, kernel, strides, padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+class _KernB(nn.Module):
+    """Conv-tree-compatible kernel+bias param holder (no forward)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), self.shape),
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],)),
+        )
+
+
 class MST(nn.Module):
-    """U-shaped spectral transformer stage (MST_Plus_Plus.py:188-268)."""
+    """U-shaped spectral transformer stage (MST_Plus_Plus.py:188-268).
+
+    ``weights_only=True`` declares the identical param tree and returns the
+    raw kernels nested per sub-block, for the fully-packed Pallas pipeline
+    (ops/fused_msab.py:mst_stage_packed)."""
 
     in_dim: int = 31
     out_dim: int = 31
@@ -311,46 +337,86 @@ class MST(nn.Module):
     num_blocks: Sequence[int] = (2, 4, 4)
 
     @nn.compact
-    def __call__(self, x):  # NHWC
-        fea = nn.Conv(self.dim, (3, 3), padding=1, use_bias=False, name="embedding")(x)
-
-        skips = []
+    def __call__(self, x, weights_only: bool = False):  # NHWC
+        k_embed = _Kern((3, 3, self.in_dim, self.dim), name="embedding")()
+        enc_msab, enc_down = [], []
         dim_stage = self.dim
         for i in range(self.stage):
-            fea = MSAB(
-                dim_stage, self.dim, dim_stage // self.dim, self.num_blocks[i],
-                name=f"enc_msab_{i}",
-            )(fea)
-            skips.append(fea)
-            fea = nn.Conv(
-                dim_stage * 2, (4, 4), strides=2, padding=1, use_bias=False,
-                name=f"enc_down_{i}",
-            )(fea)
+            enc_msab.append(
+                MSAB(
+                    dim_stage, self.dim, dim_stage // self.dim, self.num_blocks[i],
+                    name=f"enc_msab_{i}",
+                )
+            )
+            enc_down.append(
+                _Kern((4, 4, dim_stage, dim_stage * 2), name=f"enc_down_{i}")()
+            )
             dim_stage *= 2
-
-        fea = MSAB(
+        bottleneck = MSAB(
             dim_stage, self.dim, dim_stage // self.dim, self.num_blocks[-1],
             name="bottleneck",
-        )(fea)
+        )
+        dec = []
+        ds = dim_stage
+        for i in range(self.stage):
+            half = ds // 2
+            dec.append(
+                (
+                    _KernB((1, 1, ds, half * 4), name=f"dec_up_{i}")(),
+                    _Kern((1, 1, ds, half), name=f"dec_fuse_{i}")(),
+                    MSAB(
+                        half, self.dim, half // self.dim,
+                        self.num_blocks[self.stage - 1 - i], name=f"dec_msab_{i}",
+                    ),
+                )
+            )
+            ds //= 2
+        k_map = _Kern((3, 3, self.dim, self.out_dim), name="mapping")()
 
+        if weights_only:
+            return {
+                "embedding": k_embed,
+                "enc": [
+                    {"msab": m(None, weights_only=True), "down": d}
+                    for m, d in zip(enc_msab, enc_down)
+                ],
+                "bottleneck": {"msab": bottleneck(None, weights_only=True)},
+                "dec": [
+                    {
+                        "up_kernel": up[0], "up_bias": up[1],
+                        "fuse_kernel": fuse, "msab": m(None, weights_only=True),
+                    }
+                    for (up, fuse, m) in dec
+                ],
+                "mapping": k_map,
+            }
+
+        fea = _conv_nhwc(x, k_embed)
+        skips = []
+        for i in range(self.stage):
+            fea = enc_msab[i](fea)
+            skips.append(fea)
+            fea = _conv_nhwc(fea, enc_down[i], strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        fea = bottleneck(fea)
+
+        dim_stage = self.dim * (2 ** self.stage)
         for i in range(self.stage):
             # ConvTranspose(k=2, s=2) == 1x1 conv to 4x channels + depth-to-
             # space. (up_conv kernel layout documented in convert_torch_state.)
             half = dim_stage // 2
-            up = nn.Conv(half * 4, (1, 1), use_bias=True, name=f"dec_up_{i}")(fea)
+            (up_k, up_b), fuse_k, msab = dec[i]
+            up = _conv_nhwc(fea, up_k) + up_b
             b, hh, ww, _ = up.shape
             up = up.reshape(b, hh, ww, 2, 2, half)
             fea = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * 2, ww * 2, half)
-            fea = nn.Conv(half, (1, 1), use_bias=False, name=f"dec_fuse_{i}")(
-                jnp.concatenate([fea, skips[self.stage - 1 - i]], axis=-1)
+            fea = _conv_nhwc(
+                jnp.concatenate([fea, skips[self.stage - 1 - i]], axis=-1), fuse_k
             )
-            fea = MSAB(
-                half, self.dim, half // self.dim, self.num_blocks[self.stage - 1 - i],
-                name=f"dec_msab_{i}",
-            )(fea)
+            fea = msab(fea)
             dim_stage //= 2
 
-        out = nn.Conv(self.out_dim, (3, 3), padding=1, use_bias=False, name="mapping")(fea)
+        out = _conv_nhwc(fea, k_map)
         return out + x
 
 
@@ -368,14 +434,47 @@ class MSTPlusPlus(nn.Module):
         pad_h = (8 - h_inp % 8) % 8
         pad_w = (8 - w_inp % 8) % 8
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
-        feat = nn.Conv(self.n_feat, (3, 3), padding=1, use_bias=False, name="conv_in")(x)
-        body = feat
-        for i in range(self.stage):
-            body = MST(
-                dim=31, stage=2, num_blocks=(1, 1, 1), name=f"body_{i}",
-            )(body)
-        out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv_out")(body)
-        out = out + feat
+        k_in = _Kern((3, 3, self.in_channels, self.n_feat), name="conv_in")()
+        k_out = _Kern((3, 3, self.n_feat, self.out_channels), name="conv_out")()
+        stages = [
+            MST(dim=31, stage=2, num_blocks=(1, 1, 1), name=f"body_{i}")
+            for i in range(self.stage)
+        ]
+        feat = _conv_nhwc(x, k_in)
+        hp, wp = int(feat.shape[1]), int(feat.shape[2])
+
+        fused = (
+            self.n_feat == 31
+            and self.out_channels == 31
+            and wp % 4 == 0
+            and hp >= 8
+            and _use_fused_msab(hp * wp)
+        )
+        if fused:
+            # fully-packed pipeline: the whole body runs on (H, W/4, 124)
+            # packed arrays — Pallas operands are 128-lane padded in HBM, so
+            # C=31 tensors would otherwise carry 4x the bytes AND relayout
+            # copies at every conv boundary (ops/fused_msab.py).
+            from animal_vision_tpu.ops.fused_msab import (
+                mst_stage_packed,
+                packed_conv3x3,
+            )
+
+            sws = [st(None, weights_only=True) for st in stages]
+            outs = []
+            for bi in range(b):
+                fp = feat[bi].reshape(hp, wp // 4, 124)
+                xp = fp
+                for sw in sws:
+                    xp = mst_stage_packed(xp, sw)
+                op = packed_conv3x3(xp, k_out, 31, 4) + fp
+                outs.append(op.reshape(hp, wp, 31))
+            out = jnp.stack(outs)
+        else:
+            body = feat
+            for st in stages:
+                body = st(body)
+            out = _conv_nhwc(body, k_out) + feat
         return out[:, :h_inp, :w_inp, :]
 
 

@@ -10,30 +10,36 @@ the one *global* dependency, the spectral C x C Gram matrix:
 - **Pass A (stats)**: the attention matrix needs K^T Q and the per-channel
   spatial L2 norms, all reductions over EVERY pixel. A grid-accumulating
   kernel computes q = x Wq, k = x Wk per row-band tile and accumulates the
-  full (C, C) Gram + norms across grid steps (sequential on TPU). Head
-  splitting happens afterwards in XLA on the tiny C x C result — slicing
-  heads inside the kernel would need non-tile-aligned lane slices.
+  Gram + norms across grid steps (sequential on TPU).
 - **Tiny XLA glue**: normalize the Gram by the norms (reference clamps at
   1e-12), apply the learned per-head rescale, softmax over the q-channel
   axis, and lay the per-head attention matrices into one block-diagonal
-  (C, C) "apply" matrix — so pass B applies attention as a single matmul.
+  (C, C) "apply" matrix folded into the projection, so pass B applies
+  attention as part of one matmul.
 - **Pass B (apply)**: everything per-pixel/local. For each T-row band:
   V = x Wv (with a 3-row halo), pos_emb = dw3(gelu(dw3(V))) (zero-pad
-  parity with torch Conv2d), attention-apply = V @ blockdiag(attn),
-  proj + bias + pos_emb + residual, LayerNorm, FFN (1x1 -> gelu -> 3x3
-  depthwise -> gelu -> 1x1) + residual — all resident in VMEM; the
-  (.., 4C) hidden never touches HBM. The halo comes from a rolling
-  carry: scratch A holds the previous input block, scratch B the 3 rows
-  before it, and the output is emitted with a one-step lag — so HBM
-  traffic is exactly one read + one write of x per block (the naive
-  prev/cur/next-block halo would read 3x).
+  parity with torch Conv2d), attention+proj (folded matmul), residual,
+  LayerNorm, FFN (1x1 -> gelu -> 3x3 depthwise -> gelu -> 1x1) + residual
+  — all resident in VMEM; the (.., 4C) hidden never touches HBM. The halo
+  comes from a rolling carry: scratch A holds the previous input block,
+  scratch B the 3 rows before it, and the output is emitted with a
+  one-step lag — HBM traffic is exactly one read + one write of x.
+
+**Pixel packing** (the key lane-utilization move): C=31 uses 31 of each
+128-lane vreg (24%) and drives matmuls at K=31 (6% MXU utilization). The
+kernels therefore view the row-major (H, W, C) array as (H, W/P, P*C) with
+P = 124//C — a FREE reshape in HBM — so 4 pixels share one 124-lane vreg at
+L0. Per-pixel linear maps become kron(I_P, W) block-diagonal matmuls
+(K=124, near-full MXU), elementwise VPU work shrinks 4x, LayerNorm's
+per-pixel mean becomes a kron(I_P, 1/C) matmul, and depthwise-conv pixel
+shifts become lane rotations with a cross-pack fix from the
+sublane-shifted neighbor.
 
 GELU uses the Abramowitz-Stegun 7.1.26 erf approximation (|err| <= 1.5e-7;
 Mosaic has no erf lowering) — far inside the 1e-3 torch-parity budget.
-
-Numerics: all matmuls run f32 (preferred_element_type) — measured
-parity vs the XLA path ~1e-6; the XLA path itself drifts ~1e-2 from
-float64 under default matmul precision.
+Matmuls run the backend's default precision (bf16 inputs, f32 accumulate),
+matching the XLA path's own einsum behavior; ANIMAL_VISION_MSAB_PRECISION=
+highest forces the f32 algorithm.
 """
 
 from __future__ import annotations
@@ -68,10 +74,6 @@ def _gelu(x):
 
 
 def _precision():
-    """Default (bf16-input, f32-accumulate) matches the XLA path's einsum
-    behavior and is ~35% faster end to end; ANIMAL_VISION_MSAB_PRECISION=
-    highest forces the f32 algorithm (for accuracy studies — on CPU the
-    interpreter is exact f32 either way)."""
     import os
 
     if os.environ.get("ANIMAL_VISION_MSAB_PRECISION") == "highest":
@@ -83,21 +85,44 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_precision())
 
 
-def _dw3(src, k9):
-    """Depthwise 3x3, zero pad along W, valid along rows:
-    src (R, W, Ch), k9 (9, Ch) with rows laid out dy*3+dx -> (R-2, W, Ch).
-    out[j] = sum_{dy,dx} k9[dy*3+dx] * src[j+dy, x+dx-1] (zero beyond W)."""
+def _pack_of(c: int) -> int:
+    """Pixels per 124-lane pack: 4 at C=31, 2 at C=62, 1 otherwise."""
+    return {31: 4, 62: 2}.get(c, 1)
+
+
+def _shift_px(x3, delta: int, c: int, p: int):
+    """Shift the pixel axis of a packed (R, Wq, P*C) array by one pixel with
+    zero fill at the row ends: delta=+1 -> out[x] = in[x-1]; delta=-1 ->
+    out[x] = in[x+1]. For P>1 a pixel shift is a lane rotation by C with the
+    C wrapped lanes replaced from the sublane-shifted neighbor pack."""
+    rr, wq, pc = x3.shape
+    zeros = jnp.zeros((rr, 1, pc), x3.dtype)
+    if p == 1:
+        if delta == 1:
+            return jnp.concatenate([zeros, x3[:, : wq - 1]], axis=1)
+        return jnp.concatenate([x3[:, 1:], zeros], axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 2)
+    if delta == 1:
+        prev = jnp.concatenate([zeros, x3[:, : wq - 1]], axis=1)
+        return jnp.where(lane < c, pltpu.roll(prev, c, 2), pltpu.roll(x3, c, 2))
+    nxt = jnp.concatenate([x3[:, 1:], zeros], axis=1)
+    back = (pc - c) % pc
+    return jnp.where(
+        lane >= pc - c, pltpu.roll(nxt, back, 2), pltpu.roll(x3, back, 2)
+    )
+
+
+def _dw3(src, k9, c: int, p: int):
+    """Depthwise 3x3 on a packed (R, Wq, P*Ch) array, zero pad along W,
+    valid along rows; k9 (9, P*Ch) rows laid out dy*3+dx -> (R-2, Wq, P*Ch).
+    ``c`` is the per-pixel channel count of THIS tensor (Ch)."""
     rr = src.shape[0] - 2
-    w = src.shape[1]
-    ch = src.shape[2]
-    zeros = jnp.zeros((rr, 1, ch), src.dtype)
     out = None
     for dy in range(3):
         band = src[dy : dy + rr]
         acc = band * k9[dy * 3 + 1]
-        left = jnp.concatenate([zeros, band[:, : w - 1]], axis=1)  # src[x-1]
-        right = jnp.concatenate([band[:, 1:], zeros], axis=1)  # src[x+1]
-        acc = acc + k9[dy * 3 + 0] * left + k9[dy * 3 + 2] * right
+        acc = acc + k9[dy * 3 + 0] * _shift_px(band, +1, c, p)
+        acc = acc + k9[dy * 3 + 2] * _shift_px(band, -1, c, p)
         out = acc if out is None else out + acc
     return out
 
@@ -107,20 +132,20 @@ def _dw3(src, k9):
 # ---------------------------------------------------------------------------
 
 
-def _stats_kernel(x_ref, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, *, t, w, c, h):
+def _stats_kernel(x_ref, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, *, t, wq_n, pc, h):
     i = pl.program_id(0)
     gi = i * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
     x = jnp.where(gi < h, x_ref[...], 0.0)  # mask the partial tail
-    flat = x.reshape(t * w, c)
+    flat = x.reshape(t * wq_n, pc)
     q = _dot(flat, wq_ref[...])
     k = _dot(flat, wk_ref[...])
     g = jax.lax.dot_general(
         k, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_precision(),
-    )  # (C, C): G[d, e] = sum_n k[n, d] q[n, e]
-    sq = jnp.sum(q * q, axis=0).reshape(1, c)
-    sk = jnp.sum(k * k, axis=0).reshape(1, c)
+    )  # (PC, PC); the P diagonal (C, C) blocks sum to the true Gram
+    sq = jnp.sum(q * q, axis=0).reshape(1, pc)
+    sk = jnp.sum(k * k, axis=0).reshape(1, pc)
 
     @pl.when(i == 0)
     def _init():
@@ -133,46 +158,51 @@ def _stats_kernel(x_ref, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, *, t, w, c, h):
     sk_ref[...] += sk
 
 
-def _attn_stats(x, wq, wk, t):
-    """x (H, W, C) -> (G (C, C), Sq (1, C), Sk (1, C)) over all valid pixels."""
-    h, w, c = int(x.shape[0]), int(x.shape[1]), int(x.shape[2])
+def _attn_stats(xp, wq_p, wk_p, t):
+    """xp (H, Wq, PC) packed -> packed (G (PC, PC), Sq (1, PC), Sk (1, PC))."""
+    h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     n = -(-h // t)
     return pl.pallas_call(
-        functools.partial(_stats_kernel, t=t, w=w, c=c, h=h),
+        functools.partial(_stats_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((t, w, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((t, wq_n, pc), lambda i: (i, 0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((1, pc), lambda i: (0, 0)),
+            pl.BlockSpec((1, pc), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((pc, pc), jnp.float32),
+            jax.ShapeDtypeStruct((1, pc), jnp.float32),
+            jax.ShapeDtypeStruct((1, pc), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(x, wq, wk)
+    )(xp, wq_p, wk_p)
 
 
-def _attn_blockdiag(g, sq, sk, rescale, heads):
-    """Tiny XLA glue: per-head normalized/softmaxed attention, laid out as a
+def _attn_blockdiag(g_p, sq_p, sk_p, rescale, heads, c):
+    """Fold the packed stats (sum the P diagonal C x C blocks / C groups),
+    then build the per-head normalized/softmaxed attention as one
     block-diagonal (C, C) apply matrix A with A[h*d+e, h*d+dout] =
     attn[h, dout, e], so out = v @ A applies attention per head."""
-    c = g.shape[0]
+    pc = g_p.shape[0]
+    p = pc // c
+    g = sum(g_p[i * c : (i + 1) * c, i * c : (i + 1) * c] for i in range(p))
+    sq = sum(sq_p.reshape(p, c)[i] for i in range(p))
+    sk = sum(sk_p.reshape(p, c)[i] for i in range(p))
     d = c // heads
-    qn = jnp.maximum(jnp.sqrt(sq.reshape(c)), 1e-12)
-    kn = jnp.maximum(jnp.sqrt(sk.reshape(c)), 1e-12)
+    qn = jnp.maximum(jnp.sqrt(sq), 1e-12)
+    kn = jnp.maximum(jnp.sqrt(sk), 1e-12)
     blocks = []
     for hh in range(heads):
         sl = slice(hh * d, (hh + 1) * d)
         gh = g[sl, sl] / (kn[sl][:, None] * qn[sl][None, :])
-        attn = jax.nn.softmax(gh * rescale[hh].reshape(()), axis=-1)  # (dout=dk, e)
+        attn = jax.nn.softmax(gh * rescale[hh].reshape(()), axis=-1)  # (dout, e)
         blocks.append(attn.T)  # (e, dout)
     bd = jax.scipy.linalg.block_diag(*blocks) if heads > 1 else blocks[0]
     return bd.astype(jnp.float32)
@@ -184,15 +214,16 @@ def _attn_blockdiag(g, sq, sk, rescale, heads):
 
 
 def _apply_kernel(
-    x_ref, wva_ref, bp_ref, pk0_ref, pk2_ref,
+    x_ref, wv_ref, wa_ref, bp_ref, pk0_ref, pk2_ref, mavg_ref,
     lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, o_ref, a_scr, b_scr,
-    *, t, w, c, h,
+    *, t, wq_n, c, p, h,
 ):
+    pc = p * c
     i = pl.program_id(0)
     cur = x_ref[...]  # input block min(i, n-1)
     ti = i - 1  # output tile index (lag-1 emission)
 
-    win = jnp.concatenate([b_scr[...], a_scr[...], cur[:3]], axis=0)  # (T+6, W, C)
+    win = jnp.concatenate([b_scr[...], a_scr[...], cur[:3]], axis=0)  # (T+6, Wq, PC)
     gi = ti * t - 3 + jax.lax.broadcasted_iota(jnp.int32, (t + 6, 1, 1), 0)
     win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
 
@@ -200,72 +231,72 @@ def _apply_kernel(
     b_scr[...] = a_scr[t - 3 :]
     a_scr[...] = cur
 
-    # one matmul yields BOTH V and the attention-applied+projected output:
-    # wva = [Wv | Wv @ blockdiag(attn) @ Wproj] (attention apply and proj
-    # fold into the projection because they are per-pixel linear maps).
-    both = _dot(win.reshape((t + 6) * w, c), wva_ref[...]).reshape(t + 6, w, 2 * c)
-    v3 = both[:, :, :c]
-    g1 = _gelu(_dw3(v3, pk0_ref[...]))  # rows win[1:T+5]
+    flat = win.reshape((t + 6) * wq_n, pc)
+    v3 = _dot(flat, wv_ref[...]).reshape(t + 6, wq_n, pc)
+    g1 = _gelu(_dw3(v3, pk0_ref[...], c, p))  # rows win[1:T+5]
     # zero-pad parity: the inner pos_emb conv has no output beyond the
     # image; the outer conv zero-pads there — mask rows outside [0, H).
     gig = ti * t - 2 + jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0)
     g1 = jnp.where((gig >= 0) & (gig < h), g1, 0.0)
-    p = _dw3(g1, pk2_ref[...])  # rows win[2:T+4]
+    pos = _dw3(g1, pk2_ref[...], c, p)  # rows win[2:T+4]
 
-    attnout = both[2 : t + 4, :, c:] + bp_ref[0] + p
-    res1 = attnout + win[2 : t + 4]
+    # attention-apply + proj folded: attnout = x @ (Wv @ blockdiag(attn) @ Wproj)
+    flat_c = win[2 : t + 4].reshape((t + 2) * wq_n, pc)
+    attnout = _dot(flat_c, wa_ref[...]).reshape(t + 2, wq_n, pc)
+    res1 = attnout + bp_ref[0] + pos + win[2 : t + 4]
 
-    mu = jnp.mean(res1, axis=-1, keepdims=True)
-    var = jnp.mean((res1 - mu) ** 2, axis=-1, keepdims=True)
-    y = (res1 - mu) * jax.lax.rsqrt(var + 1e-5) * lns_ref[0] + lnb_ref[0]
+    # LayerNorm over each pixel's C lanes via the kron(I_P, 1/C) matmul
+    r2 = res1.reshape((t + 2) * wq_n, pc)
+    mu = _dot(r2, mavg_ref[...])
+    xc = r2 - mu
+    var = _dot(xc * xc, mavg_ref[...])
+    y = xc * jax.lax.rsqrt(var + 1e-5) * lns_ref[0] + lnb_ref[0]
 
-    hidden = _gelu(_dot(y.reshape((t + 2) * w, c), w0_ref[...])).reshape(
-        t + 2, w, 4 * c
-    )
+    hidden = _gelu(_dot(y, w0_ref[...])).reshape(t + 2, wq_n, 4 * pc)
     # zero-pad parity: torch computes the FFN on real rows only, then the
     # depthwise conv zero-pads — rows beyond the image must contribute 0.
     gih = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
     hidden = jnp.where((gih >= 0) & (gih < h), hidden, 0.0)
-    hd = _gelu(_dw3(hidden, dwk_ref[...]))  # (T, W, 4C)
-    out = _dot(hd.reshape(t * w, 4 * c), w4_ref[...]).reshape(t, w, c)
+    hd = _gelu(_dw3(hidden, dwk_ref[...], 4 * c, p))  # (T, Wq, P*4C)
+    out = _dot(hd.reshape(t * wq_n, 4 * pc), w4_ref[...]).reshape(t, wq_n, pc)
     o_ref[...] = out + res1[1 : t + 1]
 
 
-def _apply(x, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4, t):
-    h, w, c = int(x.shape[0]), int(x.shape[1]), int(x.shape[2])
+def _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
+    h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     n = -(-h // t)
     return pl.pallas_call(
-        functools.partial(_apply_kernel, t=t, w=w, c=c, h=h),
+        functools.partial(_apply_kernel, t=t, wq_n=wq_n, c=c, p=p, h=h),
         grid=(n + 1,),
         in_specs=[
-            pl.BlockSpec((t, w, c), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
-            pl.BlockSpec((c, 2 * c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((9, c), lambda i: (0, 0)),
-            pl.BlockSpec((9, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((c, 4 * c), lambda i: (0, 0)),
-            pl.BlockSpec((9, 4 * c), lambda i: (0, 0)),
-            pl.BlockSpec((4 * c, c), lambda i: (0, 0)),
+            pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((1, pc), lambda i: (0, 0)),
+            pl.BlockSpec((9, pc), lambda i: (0, 0)),
+            pl.BlockSpec((9, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((1, pc), lambda i: (0, 0)),
+            pl.BlockSpec((1, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, 4 * pc), lambda i: (0, 0)),
+            pl.BlockSpec((9, 4 * pc), lambda i: (0, 0)),
+            pl.BlockSpec((4 * pc, pc), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((t, w, c), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((h, w, c), jnp.float32),
+        out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, wq_n, pc), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((t, w, c), jnp.float32),
-            pltpu.VMEM((3, w, c), jnp.float32),
+            pltpu.VMEM((t, wq_n, pc), jnp.float32),
+            pltpu.VMEM((3, wq_n, pc), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(x, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4)
+    )(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4)
 
 
 def _pick_t(h: int, c: int) -> int:
-    """Row-band height: VMEM peak scales with T*W*(C padded to 128 lanes);
-    T=8 fits every level under the 110 MB scoped-vmem budget (L2's halved W
-    affords T=16). T must be >= 3 (carry halo)."""
-    t = 16 if c >= 96 else 8
-    return max(3, min(t, h))
+    """Row-band height. Packing keeps per-row VMEM roughly level-independent
+    (~Wq * 128 lanes), so T=16 fits every level; T must be >= 3 (carry)."""
+    return max(3, min(16, h))
 
 
 def fused_msab_block(x, attn_w, ln_w, ffn_w, *, heads):
@@ -276,29 +307,279 @@ def fused_msab_block(x, attn_w, ln_w, ffn_w, *, heads):
     depthwise (3, 3, 1, C) kernels. ln_w: (scale, bias). ffn_w: (w0
     (1,1,C,4C), dwk (3,3,1,4C), w4 (1,1,4C,C)).
     """
-    b, h, w, c = x.shape
+    b, h, w, c = (int(s) for s in x.shape)
+    p = _pack_of(c)
     wq = attn_w["to_q"].astype(jnp.float32)
     wk = attn_w["to_k"].astype(jnp.float32)
     wv = attn_w["to_v"].astype(jnp.float32)
     wp = attn_w["proj_kernel"].astype(jnp.float32)
-    bp = attn_w["proj_bias"].reshape(1, c).astype(jnp.float32)
-    pk0 = attn_w["pos_emb_0"].reshape(9, c).astype(jnp.float32)
-    pk2 = attn_w["pos_emb_2"].reshape(9, c).astype(jnp.float32)
     rescale = attn_w["rescale"]
-    lns = ln_w[0].reshape(1, c).astype(jnp.float32)
-    lnb = ln_w[1].reshape(1, c).astype(jnp.float32)
-    w0 = ffn_w[0].reshape(c, 4 * c).astype(jnp.float32)
-    dwk = ffn_w[1].reshape(9, 4 * c).astype(jnp.float32)
-    w4 = ffn_w[2].reshape(4 * c, c).astype(jnp.float32)
 
-    t = _pick_t(int(h), int(c))
+    eye = jnp.eye(p, dtype=jnp.float32)
+    kron = lambda m: jnp.kron(eye, m.astype(jnp.float32))
+    tile = lambda v, reps: jnp.tile(v.astype(jnp.float32).reshape(1, -1), (1, reps))
+
+    wq_p, wk_p, wv_p = kron(wq), kron(wk), kron(wv)
+    bp = tile(attn_w["proj_bias"], p)
+    pk0 = jnp.tile(attn_w["pos_emb_0"].reshape(9, c).astype(jnp.float32), (1, p))
+    pk2 = jnp.tile(attn_w["pos_emb_2"].reshape(9, c).astype(jnp.float32), (1, p))
+    mavg = jnp.kron(eye, jnp.full((c, c), 1.0 / c, jnp.float32))
+    lns = tile(ln_w[0], p)
+    lnb = tile(ln_w[1], p)
+    w0 = kron(ffn_w[0].reshape(c, 4 * c))
+    dwk = jnp.tile(ffn_w[1].reshape(9, 4 * c).astype(jnp.float32), (1, p))
+    w4 = kron(ffn_w[2].reshape(4 * c, c))
+
+    # pack: (H, W, C) -> (H, Wq, P*C) is a free row-major reshape; pad W to
+    # a multiple of P with zeros (exactly torch's zero-pad for the dwconvs;
+    # padded pixels contribute nothing to the Gram and are sliced away).
+    wp_w = -(-w // p) * p
+    t = _pick_t(h, c)
     outs = []
     for bi in range(b):  # vmapping an accumulating grid is unsafe; B is tiny
         img = x[bi].astype(jnp.float32)
-        g, sq, sk = _attn_stats(img, wq, wk, t)
-        abd = _attn_blockdiag(g, sq, sk, rescale, heads)
-        # fold attention-apply + proj into the V projection (all per-pixel
-        # linear): one (C, 2C) matmul in the kernel yields V and attnout.
-        wva = jnp.concatenate([wv, wv @ abd @ wp], axis=1)
-        outs.append(_apply(img, wva, bp, pk0, pk2, lns, lnb, w0, dwk, w4, t))
+        if wp_w != w:
+            img = jnp.pad(img, ((0, 0), (0, wp_w - w), (0, 0)))
+        xp = img.reshape(h, wp_w // p, p * c)
+        g_p, sq_p, sk_p = _attn_stats(xp, wq_p, wk_p, t)
+        abd = _attn_blockdiag(g_p, sq_p, sk_p, rescale, heads, c)
+        wa_p = kron(wv @ abd @ wp)
+        res = _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p)
+        res = res.reshape(h, wp_w, c)[:, :w]
+        outs.append(res)
     return jnp.stack(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Packed convolutions + the fully-packed MST stage pipeline
+# ---------------------------------------------------------------------------
+#
+# Pallas constrains its operands to the row-major {2,1,0:T(8,128)} layout,
+# so a (H, W, 31) operand is PHYSICALLY 128-lane padded in HBM (4x bytes)
+# and converting between XLA-conv layouts and the packed view costs a full
+# relayout copy per boundary. The cure is to never leave the packed layout:
+# the whole MST stage (embedding conv -> MSABs -> strided downsamples ->
+# upsample/fuse -> mapping conv -> residual) runs on (H, Wq, 124) arrays,
+# with spatial convs as neighbor-pack matmuls (full-K MXU) and the 1x1
+# up/fuse convs as plain XLA matmuls on the packed arrays.
+
+
+def _conv3_mats(w, c: int, p: int):
+    """(3, 3, C, C) conv weight -> 3 per-dy (3PC, PC) neighbor-pack matmul
+    matrices: out pixel po channel co = sum_dx w[dy,dx,ci,co] * in[po+dx-1, ci]
+    with the input drawn from [prev | cur | next] packs."""
+    pc = p * c
+    mats = []
+    for dy in range(3):
+        m = jnp.zeros((3 * pc, pc), jnp.float32)
+        for po in range(p):
+            for dx in range(3):
+                ip = p + po + dx - 1
+                m = m.at[ip * c : (ip + 1) * c, po * c : (po + 1) * c].add(
+                    w[dy, dx].astype(jnp.float32)
+                )
+        mats.append(m)
+    return jnp.stack(mats)  # (3, 3PC, PC)
+
+
+def _down4_mats(w, c: int, p: int):
+    """(4, 4, C, 2C) stride-2 conv weight -> 4 per-dy (3PC, PC) matrices.
+    Output pack (P/2 pixels x 2C) j covers out pixels j*P/2+po'; out pixel
+    2(jP/2+po')-1+dx maps into input packs j-1..j+1."""
+    pc = p * c
+    po_n = p // 2
+    mats = []
+    for dy in range(4):
+        m = jnp.zeros((3 * pc, pc), jnp.float32)
+        for po in range(po_n):
+            for dx in range(4):
+                ipix = p + 2 * po + dx - 1  # in nbr coords (prev pack = 0..P-1)
+                m = m.at[ipix * c : (ipix + 1) * c, po * 2 * c : (po + 1) * 2 * c].add(
+                    w[dy, dx].astype(jnp.float32)
+                )
+        mats.append(m)
+    return jnp.stack(mats)  # (4, 3PC, PC)
+
+
+def _nbr(band):
+    """[prev | cur | next] packs along lanes with zero row-end fill."""
+    rr, wq, pc = band.shape
+    zeros = jnp.zeros((rr, 1, pc), band.dtype)
+    left = jnp.concatenate([zeros, band[:, : wq - 1]], axis=1)
+    right = jnp.concatenate([band[:, 1:], zeros], axis=1)
+    return jnp.concatenate([left, band, right], axis=2)  # (rr, wq, 3PC)
+
+
+def _conv3_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
+    i = pl.program_id(0)
+    cur = x_ref[...]
+    ti = i - 1
+    win = jnp.concatenate([b_scr[...], a_scr[...], cur[:1]], axis=0)  # (T+2,)
+    gi = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
+    win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
+    b_scr[...] = a_scr[t - 1 :]
+    a_scr[...] = cur
+    out = None
+    for dy in range(3):
+        band = _nbr(win[dy : dy + t])
+        piece = _dot(band.reshape(t * wq_n, 3 * pc), m_ref[dy])
+        out = piece if out is None else out + piece
+    o_ref[...] = out.reshape(t, wq_n, pc)
+
+
+def packed_conv3x3(xp, w, c: int, p: int, t: int = 16):
+    """Same-resolution 3x3 conv (zero pad, no bias) on a packed array."""
+    h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
+    t = max(2, min(t, h))
+    n = -(-h // t)
+    mats = _conv3_mats(w, c, p)
+    return pl.pallas_call(
+        functools.partial(_conv3_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
+        grid=(n + 1,),
+        in_specs=[
+            pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+            pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, wq_n, pc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t, wq_n, pc), jnp.float32),
+            pltpu.VMEM((1, wq_n, pc), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, mats)
+
+
+def _down4_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
+    # out block of T rows consumes in rows [2*ti*T - 1, 2*ti*T + 2T + 2)
+    i = pl.program_id(0)
+    cur = x_ref[...]  # (2T, Wq, PC) input block i
+    ti = i - 1
+    win = jnp.concatenate([b_scr[...], a_scr[...], cur[:2]], axis=0)  # (2T+3,)
+    gi = 2 * ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (2 * t + 3, 1, 1), 0)
+    win = jnp.where((gi >= 0) & (gi < h_in), win, 0.0)
+    b_scr[...] = a_scr[2 * t - 1 :]
+    a_scr[...] = cur
+    # out local row r <- in win rows 2r+dy; win2[r + dy//2, dy%2] == win[2r+dy]
+    win2 = win[: 2 * t + 2].reshape(t + 1, 2, wq_n, win.shape[2])
+    out = None
+    for dy in range(4):
+        band = _nbr(win2[dy // 2 : dy // 2 + t, dy % 2])
+        piece = _dot(band.reshape(t * wq_n, 3 * pc), m_ref[dy])
+        out = piece if out is None else out + piece
+    o_ref[...] = out.reshape(t, wq_n, pc)
+
+
+def packed_down4x4(xp, w, c: int, p: int, t: int = 8):
+    """Stride-2 4x4 conv (zero pad 1, no bias) C -> 2C: packed (H, Wq, PC)
+    -> packed (H/2, Wq, PC) with the output pack holding P/2 pixels x 2C."""
+    h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
+    h_out = h // 2
+    t = max(1, min(t, h_out))
+    n = -(-h_out // t)
+    mats = _down4_mats(w, c, p)
+    return pl.pallas_call(
+        functools.partial(_down4_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
+        grid=(n + 1,),
+        in_specs=[
+            pl.BlockSpec((2 * t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+            pl.BlockSpec((4, 3 * pc, pc), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h_out, wq_n, pc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * t, wq_n, pc), jnp.float32),
+            pltpu.VMEM((1, wq_n, pc), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, mats)
+
+
+def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p):
+    """One MSAB block on an already-packed (H, Wq, P*C) array."""
+    eye = jnp.eye(p, dtype=jnp.float32)
+    kron = lambda m: jnp.kron(eye, m.astype(jnp.float32))
+    tile = lambda v, reps: jnp.tile(v.astype(jnp.float32).reshape(1, -1), (1, reps))
+
+    wq_p, wk_p, wv_p = kron(attn_w["to_q"]), kron(attn_w["to_k"]), kron(attn_w["to_v"])
+    bp = tile(attn_w["proj_bias"], p)
+    pk0 = jnp.tile(attn_w["pos_emb_0"].reshape(9, c).astype(jnp.float32), (1, p))
+    pk2 = jnp.tile(attn_w["pos_emb_2"].reshape(9, c).astype(jnp.float32), (1, p))
+    mavg = jnp.kron(eye, jnp.full((c, c), 1.0 / c, jnp.float32))
+    lns = tile(ln_w[0], p)
+    lnb = tile(ln_w[1], p)
+    w0 = kron(ffn_w[0].reshape(c, 4 * c))
+    dwk = jnp.tile(ffn_w[1].reshape(9, 4 * c).astype(jnp.float32), (1, p))
+    w4 = kron(ffn_w[2].reshape(4 * c, c))
+
+    t = _pick_t(int(xp.shape[0]), c)
+    g_p, sq_p, sk_p = _attn_stats(xp, wq_p, wk_p, t)
+    abd = _attn_blockdiag(g_p, sq_p, sk_p, attn_w["rescale"], heads, c)
+    wa_p = kron(attn_w["to_v"].astype(jnp.float32) @ abd @ attn_w["proj_kernel"].astype(jnp.float32))
+    return _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p)
+
+
+def mst_stage_packed(xp, sw, dim: int = 31):
+    """One MST stage (MST_Plus_Plus.py:188-268) entirely on packed arrays:
+    embedding conv -> encoder (MSAB + stride-2 down) x2 -> bottleneck MSAB
+    -> decoder (1x1 up + depth-to-space + 1x1 fuse + MSAB) x2 -> mapping
+    conv -> + input. ``sw`` is MST.weights_only()'s dict; xp (H, Wq, P*31)."""
+    c0 = dim
+    p0 = _pack_of(c0)
+    fea = packed_conv3x3(xp, sw["embedding"], c0, p0)
+
+    skips = []
+    c, p = c0, p0
+    for enc in sw["enc"]:
+        for blk in enc["msab"]:
+            fea = msab_packed(fea, blk["attn"], blk["ln"], blk["ffn"],
+                              heads=c // dim, c=c, p=p)
+        skips.append((fea, c, p))
+        fea = packed_down4x4(fea, enc["down"], c, p)
+        c, p = c * 2, p // 2
+
+    for blk in sw["bottleneck"]["msab"]:
+        fea = msab_packed(fea, blk["attn"], blk["ln"], blk["ffn"],
+                          heads=c // dim, c=c, p=p)
+
+    for dec, (skip, cs, ps) in zip(sw["dec"], reversed(skips)):
+        half = c // 2
+        h2, wq_n, pc = int(fea.shape[0]), int(fea.shape[1]), int(fea.shape[2])
+        # dec_up: 1x1 conv to 4x channels + depth-to-space. Per output row
+        # stream dy, fold the depth-to-space lane reorder into the matmul:
+        # out pack lane (2*pi+dx)*half+co <- in pixel pi, column
+        # (dy*2+dx)*half+co of the stored (in, 4*half) kernel. Output pack
+        # = 2*p_in pixels x half channels = the next level's packing.
+        wup = dec["up_kernel"].reshape(c, 4 * half).astype(jnp.float32)
+        bup = dec["up_bias"].astype(jnp.float32)  # (4*half,), (dy,dx,co) order
+        p_out = 2 * p
+        rows = []
+        for dy in range(2):
+            m = jnp.zeros((pc, p_out * half), jnp.float32)
+            b = jnp.zeros((p_out * half,), jnp.float32)
+            for pi in range(p):
+                for dx in range(2):
+                    src = slice((dy * 2 + dx) * half, (dy * 2 + dx + 1) * half)
+                    dst = slice((2 * pi + dx) * half, (2 * pi + dx + 1) * half)
+                    m = m.at[pi * c : (pi + 1) * c, dst].set(wup[:, src])
+                    b = b.at[dst].set(bup[src])
+            rows.append(_dot(fea.reshape(h2 * wq_n, pc), m).reshape(h2, wq_n, -1) + b)
+        fea = jnp.stack(rows, axis=1).reshape(h2 * 2, wq_n, p_out * half)
+        # dec_fuse: 1x1 conv on concat(fea, skip) == sum of two matmuls
+        fk = dec["fuse_kernel"].astype(jnp.float32).reshape(2 * half, half)
+        eye_s = jnp.eye(p_out, dtype=jnp.float32)
+        m_f = jnp.kron(eye_s, fk[:half])
+        m_s = jnp.kron(eye_s, fk[half:])
+        n2 = int(fea.shape[0]) * wq_n
+        fea = (
+            _dot(fea.reshape(n2, -1), m_f) + _dot(skip.reshape(n2, -1), m_s)
+        ).reshape(int(fea.shape[0]), wq_n, p_out * half)
+        c, p = half, p_out
+        for blk in dec["msab"]:
+            fea = msab_packed(fea, blk["attn"], blk["ln"], blk["ffn"],
+                              heads=c // dim, c=c, p=p)
+
+    out = packed_conv3x3(fea, sw["mapping"], c0, p0)
+    return out + xp
