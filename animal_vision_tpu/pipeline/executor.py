@@ -43,7 +43,7 @@ class StreamingExecutor:
     def __init__(
         self,
         animal,
-        batch: int = 4,
+        batch: int = 8,
         split: bool = True,
         right_label: str = "Transformed",
         prefetch: int = 2,
