@@ -447,3 +447,33 @@ def test_export_torch_state_roundtrip(torch_ref):
     )
     assert not unexpected, unexpected
     assert not missing, missing
+
+
+def test_packed_conv_kernels_match_lax_conv():
+    """ops/fused_msab.py packed 3x3 and 4x4-stride-2 convs (interpret mode)
+    vs lax.conv on the unpacked layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from animal_vision_tpu.ops import fused_msab as F
+
+    rng = np.random.default_rng(5)
+    for C, P in [(31, 4), (62, 2)]:
+        H, W = 24, 8 * P
+        x = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32) * 0.5)
+        xp = x.reshape(H, W // P, P * C)
+
+        w3 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.2)
+        got = F.packed_conv3x3(xp, w3, C, P).reshape(H, W, C)
+        ref = jax.lax.conv_general_dilated(
+            x[None], w3, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )[0]
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-4, (C, "conv3")
+
+        w4 = jnp.asarray(rng.standard_normal((4, 4, C, 2 * C)).astype(np.float32) * 0.2)
+        got = F.packed_down4x4(xp, w4, C, P).reshape(H // 2, W // 2, 2 * C)
+        ref = jax.lax.conv_general_dilated(
+            x[None], w4, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0]
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-4, (C, "down4")
