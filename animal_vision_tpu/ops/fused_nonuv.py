@@ -49,13 +49,40 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# sRGB transfer curves as Chebyshev-fit polynomials: Mosaic lowers ** to
+# exp/log transcendentals, which measured ~0.06 ms/frame at 1080p across
+# every species kernel. Horner in the [-1, 1]-shifted variable:
+#   linearize deg-9 on [0.04045, 1]: |err| <= 7.3e-7
+#   encode deg-13 in u = sqrt(x) on [sqrt(0.0031308), 1]: |err| <= 6.3e-6
+# Both are far below the 0.5/255 = 2e-3 rounding quantum, so uint8 outputs
+# stay <= 1 LSB vs the exact-pow oracle (golden-tested).
+_LIN_COEF = (
+    0.2332408, 0.4668917, 0.27259746, 0.030306619, -0.003833699, 0.001056675,
+    -0.00025578044, 6.192202e-05, -0.00018284922, 0.0001174624,
+)
+_ENC_COEF = (
+    0.5645806, 0.46160325, -0.03434599, 0.011822656, -0.0064787567,
+    0.0046764403, 0.0018685015, -0.0048810644, -0.010951132, 0.014180024,
+    0.011595288, -0.0139776515, -0.00603956, 0.006349149,
+)
+
+
+def _horner(t, coef):
+    acc = jnp.full_like(t, coef[-1])
+    for c in coef[-2::-1]:
+        acc = acc * t + c
+    return acc
+
+
 def _linearize(f):
-    return jnp.where(f <= 0.04045, f / 12.92, ((f + _SRGB_A) / (1 + _SRGB_A)) ** 2.4)
+    t = f * 2.0843103538116825 - 1.0843103538116827
+    return jnp.where(f <= 0.04045, f / 12.92, _horner(t, _LIN_COEF))
 
 
 def _encode_u8(x):
     x = jnp.clip(x, 0.0, 1.0)
-    s = jnp.where(x <= 0.0031308, 12.92 * x, (1 + _SRGB_A) * x ** (1 / 2.4) - _SRGB_A)
+    t = jnp.sqrt(x) * 2.1185398288282156 - 1.1185398288282156
+    s = jnp.where(x <= 0.0031308, 12.92 * x, _horner(t, _ENC_COEF))
     s = jnp.clip(s, 0.0, 1.0)
     return jnp.floor(s * 255.0 + 0.5).astype(jnp.int32).astype(jnp.uint8)
 
