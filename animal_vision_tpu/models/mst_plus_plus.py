@@ -440,30 +440,34 @@ class MSTPlusPlus(nn.Module):
             MST(dim=31, stage=2, num_blocks=(1, 1, 1), name=f"body_{i}")
             for i in range(self.stage)
         ]
-        feat = _conv_nhwc(x, k_in)
-        hp, wp = int(feat.shape[1]), int(feat.shape[2])
+        hp, wp = int(x.shape[1]), int(x.shape[2])
 
         fused = (
             self.n_feat == 31
             and self.out_channels == 31
+            and self.in_channels == 3
             and wp % 4 == 0
             and hp >= 8
             and _use_fused_msab(hp * wp)
         )
         if fused:
-            # fully-packed pipeline: the whole body runs on (H, W/4, 124)
-            # packed arrays — Pallas operands are 128-lane padded in HBM, so
-            # C=31 tensors would otherwise carry 4x the bytes AND relayout
-            # copies at every conv boundary (ops/fused_msab.py).
+            # fully-packed pipeline: conv_in and the whole body run on
+            # (H, W/4, 124) packed arrays — Pallas operands are 128-lane
+            # padded in HBM, so C=31 tensors would otherwise carry 4x the
+            # bytes AND relayout copies at every conv boundary
+            # (ops/fused_msab.py).
             from animal_vision_tpu.ops.fused_msab import (
                 mst_stage_packed,
                 packed_conv3x3,
+                packed_conv3x3_io,
             )
 
             sws = [st(None, weights_only=True) for st in stages]
             outs = []
             for bi in range(b):
-                fp = feat[bi].reshape(hp, wp // 4, 124)
+                fp = packed_conv3x3_io(
+                    x[bi].reshape(hp, wp // 4, 12), k_in, 3, 31, 4
+                )
                 xp = fp
                 for sw in sws:
                     xp = mst_stage_packed(xp, sw)
@@ -471,6 +475,7 @@ class MSTPlusPlus(nn.Module):
                 outs.append(op.reshape(hp, wp, 31))
             out = jnp.stack(outs)
         else:
+            feat = _conv_nhwc(x, k_in)
             body = feat
             for st in stages:
                 body = st(body)

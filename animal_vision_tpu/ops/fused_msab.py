@@ -583,3 +583,64 @@ def mst_stage_packed(xp, sw, dim: int = 31):
 
     out = packed_conv3x3(fea, sw["mapping"], c0, p0)
     return out + xp
+
+
+def _conv3_mats_io(w, cin: int, cout: int, p: int):
+    """(3, 3, Cin, Cout) conv weight -> 3 per-dy (3*P*Cin, P*Cout) matrices
+    (generalizes _conv3_mats to Cin != Cout; same nbr-pack contract)."""
+    pci, pco = p * cin, p * cout
+    mats = []
+    for dy in range(3):
+        m = jnp.zeros((3 * pci, pco), jnp.float32)
+        for po in range(p):
+            for dx in range(3):
+                ip = p + po + dx - 1
+                m = m.at[ip * cin : (ip + 1) * cin, po * cout : (po + 1) * cout].add(
+                    w[dy, dx].astype(jnp.float32)
+                )
+        mats.append(m)
+    return jnp.stack(mats)
+
+
+def _conv3_io_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pci, pco, h):
+    i = pl.program_id(0)
+    cur = x_ref[...]
+    ti = i - 1
+    win = jnp.concatenate([b_scr[...], a_scr[...], cur[:1]], axis=0)
+    gi = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
+    win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
+    b_scr[...] = a_scr[t - 1 :]
+    a_scr[...] = cur
+    out = None
+    for dy in range(3):
+        band = _nbr(win[dy : dy + t])
+        piece = _dot(band.reshape(t * wq_n, 3 * pci), m_ref[dy])
+        out = piece if out is None else out + piece
+    o_ref[...] = out.reshape(t, wq_n, pco)
+
+
+def packed_conv3x3_io(xp, w, cin: int, cout: int, p: int, t: int = 16):
+    """Same-resolution 3x3 conv Cin -> Cout on packed arrays: (H, Wq, P*Cin)
+    -> (H, Wq, P*Cout). Used for conv_in (3 -> 31): the raw RGB frame views
+    packed for free and feat is born packed — no XLA conv, no relayout."""
+    h, wq_n, pci = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
+    pco = p * cout
+    t = max(2, min(t, h))
+    n = -(-h // t)
+    mats = _conv3_mats_io(w, cin, cout, p)
+    return pl.pallas_call(
+        functools.partial(_conv3_io_kernel, t=t, wq_n=wq_n, pci=pci, pco=pco, h=h),
+        grid=(n + 1,),
+        in_specs=[
+            pl.BlockSpec((t, wq_n, pci), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+            pl.BlockSpec((3, 3 * pci, pco), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t, wq_n, pco), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, wq_n, pco), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t, wq_n, pci), jnp.float32),
+            pltpu.VMEM((1, wq_n, pci), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, mats)
