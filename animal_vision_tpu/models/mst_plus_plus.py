@@ -645,9 +645,14 @@ def export_torch_state(variables, stage: int = 3) -> dict:
             sd[f"{prefix}.decoder_layers.{i}.0.weight"] = tw  # (in, out, 2, 2)
             bias = q[f"dec_up_{i}"].get("bias")
             if bias is not None:
-                sd[f"{prefix}.decoder_layers.{i}.0.bias"] = np.asarray(bias)[
-                    3 * half : 4 * half
-                ]
+                # The flax form keeps an independent bias per (dy, dx) copy;
+                # torch ConvTranspose2d has one. Export the mean so a
+                # flax-trained model whose copies diverged loses the least
+                # (exact whenever the copies are identical — fresh init or
+                # torch-imported weights).
+                sd[f"{prefix}.decoder_layers.{i}.0.bias"] = (
+                    np.asarray(bias).reshape(4, half).mean(axis=0)
+                )
             sd[f"{prefix}.decoder_layers.{i}.1.weight"] = conv_w(
                 q[f"dec_fuse_{i}"]["kernel"]
             )

@@ -1,0 +1,106 @@
+"""Driver-visible quality metrics (VERDICT round-2 next #5).
+
+Three numbers that previously lived only inside judge-run tests:
+
+1. ``convergence_psnr_gain_db`` — held-out PSNR gain of the train ->
+   checkpoint -> resume -> eval composition (train.convergence_demo).
+2. ``fused_vs_f32_psnr_db`` — PSNR of the fused-MSAB Pallas path against
+   the unfused float32-precision XLA path *at the trained demo checkpoint*
+   (round 2 argued ~51 dB at random init; this measures it at weights that
+   have actually moved). Measured at a frame large enough to engage the
+   fused path (>= mst_plus_plus._FUSED_MIN_PIXELS).
+3. ``eval_protocol_{mrae,rmse,psnr}`` — the full ARAD eval protocol
+   (ml/MST_plus_plus/test_develop_code/test.py:46-86: Valid_RGB jpg ->
+   min-max normalize -> model -> 128-px center crop vs the Valid_Spec .mat
+   cube) run end to end over synthetic fixtures written with the v7.3 .mat
+   writer, scored with the trained demo model.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fused_vs_f32_psnr(
+    module, params, hw: tuple[int, int] = (544, 960), seed: int = 3
+) -> float:
+    """PSNR (dB, data_range=1) of the default (fused-on-TPU) forward vs the
+    unfused float32-matmul forward at the same params."""
+    from animal_vision_tpu.models.mst_plus_plus import no_fused_ffn
+    from animal_vision_tpu.models.train import synthetic_scenes
+
+    rgb, _ = synthetic_scenes(1, hw[0], hw[1], seed)[0]
+    x = jnp.asarray(rgb)[None]
+    with no_fused_ffn(), jax.default_matmul_precision("float32"):
+        ref = np.asarray(jax.jit(lambda t: module.apply(params, t))(x))
+    got = np.asarray(jax.jit(lambda t: module.apply(params, t))(x))
+    mse = float(np.mean((got.astype(np.float64) - ref.astype(np.float64)) ** 2))
+    return float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+
+
+def eval_protocol_fixtures(
+    apply_fn,
+    n_scenes: int = 2,
+    hw: tuple[int, int] = (288, 320),
+    seed: int = 7,
+    data_root: str | None = None,
+) -> dict:
+    """Write ARAD-layout fixtures (Valid_RGB/*.jpg + Valid_Spec/*.mat) and
+    score ``apply_fn`` through iter_dataset + validate with the reference's
+    128-px center-crop protocol."""
+    import cv2
+
+    from animal_vision_tpu.models import eval as meval
+    from animal_vision_tpu.models.train import synthetic_scenes
+
+    root = data_root or tempfile.mkdtemp(prefix="avt_arad_")
+    os.makedirs(os.path.join(root, "Valid_RGB"), exist_ok=True)
+    os.makedirs(os.path.join(root, "Valid_Spec"), exist_ok=True)
+    for i, (rgb, hsi) in enumerate(synthetic_scenes(n_scenes, hw[0], hw[1], seed)):
+        name = f"ARAD_1K_{i:04d}"
+        bgr = cv2.cvtColor((rgb * 255.0).round().astype(np.uint8), cv2.COLOR_RGB2BGR)
+        cv2.imwrite(
+            os.path.join(root, "Valid_RGB", name + ".jpg"),
+            bgr,
+            [cv2.IMWRITE_JPEG_QUALITY, 97],
+        )
+        meval.save_mat_cube(os.path.join(root, "Valid_Spec", name + ".mat"), hsi)
+    scenes = [(rgb, gt) for _, rgb, gt in meval.iter_dataset(root)]
+    return meval.validate(apply_fn, scenes, crop=128)
+
+
+def quality_report(steps: int = 40) -> dict:
+    """The three driver-visible quality numbers, JSON-ready."""
+    from animal_vision_tpu.models.mst_plus_plus import no_fused_ffn
+    from animal_vision_tpu.models.train import convergence_demo
+
+    demo = convergence_demo(steps=steps, return_state=True)
+    module, params = demo["module"], demo["state"].params
+    out = {
+        "convergence_psnr_init_db": round(demo["psnr_init"], 2),
+        "convergence_psnr_final_db": round(demo["psnr_final"], 2),
+        "convergence_psnr_gain_db": round(demo["psnr_final"] - demo["psnr_init"], 2),
+    }
+
+    if jax.default_backend() != "cpu":
+        out["fused_vs_f32_psnr_db"] = round(fused_vs_f32_psnr(module, params), 2)
+
+    @jax.jit
+    def _apply(p, rgb):
+        with no_fused_ffn():
+            return module.apply(p, rgb[None])[0]
+
+    proto = eval_protocol_fixtures(lambda rgb: _apply(params, jnp.asarray(rgb)))
+    out.update(
+        {
+            "eval_protocol_mrae": round(proto["mrae"], 4),
+            "eval_protocol_rmse": round(proto["rmse"], 4),
+            "eval_protocol_psnr": round(proto["psnr"], 2),
+        }
+    )
+    return out

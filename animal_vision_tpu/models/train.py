@@ -102,7 +102,12 @@ def make_sharded_train_step(mesh: Mesh, module, optimizer, loss: str = "mrae"):
 
 
 def init_state(module, optimizer, sample_shape=(1, 64, 64, 3), seed: int = 0) -> TrainState:
-    variables = module.init(jax.random.PRNGKey(seed), jnp.zeros(sample_shape))
+    # jit the init: unjitted flax init runs eagerly op by op, which costs a
+    # dispatch round-trip per op on the remote-tunnel TPU (measured 89 s for
+    # stage-1 MST++ vs ~2 s jitted).
+    variables = jax.jit(lambda k: module.init(k, jnp.zeros(sample_shape)))(
+        jax.random.PRNGKey(seed)
+    )
     opt_state = optimizer.init(variables)
     return TrainState(variables, opt_state, jnp.zeros((), jnp.int32))
 
@@ -154,13 +159,20 @@ def synthetic_scenes(n: int, h: int, w: int, seed: int = 0):
     from animal_vision_tpu.spectral.classic import classic_rgb_to_hsi
 
     rng = np.random.default_rng(seed)
-    scenes = []
-    for _ in range(n):
-        low = rng.uniform(0, 1, (max(2, h // 8), max(2, w // 8), 3)).astype(np.float32)
-        rgb = np.asarray(jax.image.resize(jnp.asarray(low), (h, w, 3), "linear"))
-        hsi = np.asarray(classic_rgb_to_hsi(jnp.asarray(rgb)))
-        scenes.append((rgb, hsi.astype(np.float32)))
-    return scenes
+    lows = rng.uniform(0, 1, (n, max(2, h // 8), max(2, w // 8), 3)).astype(np.float32)
+
+    # One jitted vmapped program + one bulk fetch for all n scenes: eager
+    # per-scene resize/classic + per-scene np.asarray round-trips cost ~9 s
+    # per scene on the remote-tunnel TPU.
+    @jax.jit
+    def gen(low):
+        rgb = jax.vmap(lambda t: jax.image.resize(t, (h, w, 3), "linear"))(low)
+        return rgb, jax.vmap(classic_rgb_to_hsi)(rgb)
+
+    rgbs, hsis = jax.device_get(gen(jnp.asarray(lows)))
+    return [
+        (np.asarray(rgbs[i]), np.asarray(hsis[i], dtype=np.float32)) for i in range(n)
+    ]
 
 
 def convergence_demo(
@@ -173,6 +185,7 @@ def convergence_demo(
     lr: float = 2e-3,
     seed: int = 0,
     ckpt_dir: str | None = None,
+    return_state: bool = False,
 ):
     """Train a small MST++ on synthetic analytic-HSI scenes, checkpoint at
     the midpoint, resume from the checkpoint, and run the eval harness on a
@@ -193,23 +206,36 @@ def convergence_demo(
     state = init_state(module, opt, sample_shape=(1, patch, patch, 3), seed=seed)
     step = jax.jit(make_train_step(module, opt, loss="l1"))
 
-    def eval_held(params):
-        def apply_fn(rgb):
-            with no_fused_ffn():
-                return module.apply(params, jnp.asarray(rgb)[None])[0]
+    @jax.jit
+    def _apply(params, rgb):  # jitted once; unjitted eager apply costs ~45 s
+        with no_fused_ffn():  # of per-op dispatch round-trips on the tunnel
+            return module.apply(params, rgb[None])[0]
 
-        return meval.validate(apply_fn, [held], crop=0)
+    def eval_held(params):
+        return meval.validate(
+            lambda rgb: _apply(params, jnp.asarray(rgb)), [held], crop=0
+        )
 
     init_metrics = eval_held(state.params)
     rng = np.random.default_rng(seed + 1)
     losses = []
 
     def run(state, n):
+        # Pre-sample and pre-upload every batch as one stacked transfer,
+        # and keep per-step losses as device scalars: a float() fetch per
+        # step costs a full tunnel round-trip (~5 s/step on the axon
+        # remote — 40 steps measured 221 s warm-cache before this change).
+        brs, bhs = [], []
         for _ in range(n):
             rgb, hsi = train_scenes[int(rng.integers(0, len(train_scenes)))]
             br, bh = sample_patches(rng, rgb, hsi, patch, batch)
-            state, m = step(state, jnp.asarray(br), jnp.asarray(bh))
-            losses.append(float(m["loss"]))
+            brs.append(br)
+            bhs.append(bh)
+        brs = jax.device_put(jnp.asarray(np.stack(brs)))
+        bhs = jax.device_put(jnp.asarray(np.stack(bhs)))
+        for i in range(n):
+            state, m = step(state, brs[i], bhs[i])
+            losses.append(m["loss"])
         return state
 
     state = run(state, steps // 2)
@@ -225,13 +251,15 @@ def convergence_demo(
     state = run(state, steps - steps // 2)
 
     final_metrics = eval_held(state.params)
+    out_state = {"state": state, "module": module, "held": held} if return_state else {}
     return {
+        **out_state,
         "psnr_init": float(init_metrics["psnr"]),
         "psnr_final": float(final_metrics["psnr"]),
         "mrae_init": float(init_metrics["mrae"]),
         "mrae_final": float(final_metrics["mrae"]),
-        "loss_first": losses[0],
-        "loss_last": losses[-1],
+        "loss_first": float(losses[0]),
+        "loss_last": float(losses[-1]),
         "steps": steps,
         "resumed_step": int(state.step),
     }

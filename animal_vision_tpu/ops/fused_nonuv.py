@@ -462,6 +462,9 @@ def _streak_pallas(img, tab, mix, chroma):
     kmax = 2 * r + 1
 
     assert 3 * r <= 128, "kernel too wide for the roll margin"
+    # The right border strip starts at pixel w - npx - r; a negative start
+    # would silently wrap around in the slice and corrupt border pixels.
+    assert 128 // 3 + 1 + r <= w, f"frame too narrow for r={r} border strips (w={w})"
     t_rows = _pick_tile(h, max_t=64)  # rolls measured cheapest at T=64 (vs 24/40/120)
     n = -(-h // t_rows)
     hp = n * t_rows

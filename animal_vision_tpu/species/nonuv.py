@@ -209,7 +209,10 @@ class NonUVAnimal(Animal):
         bh, bw = up(h, ry), up(w, rx)
         if bh - h > h - 1 or bw - w > w - 1:
             return None  # too small for reflect padding: exact path
-        if "streak" in self._bucket_kinds() and bw < 64:
+        # The streak kernel's border stitch overwrites one whole 128-lane
+        # block at each edge, so it needs 3*bw >= 256 interleaved lanes
+        # (bw >= 86); stay on the exact/XLA path below that.
+        if "streak" in self._bucket_kinds() and bw < 128:
             return None
         return bh, bw
 
@@ -260,7 +263,10 @@ class NonUVAnimal(Animal):
         # The streak kernel's in-VMEM reflect pad requires W > pad width;
         # tiny frames fall back to the XLA path (same numerics).
         if fused is not None and any(e.kind == "streak" for e in spec.effects if e.enabled):
-            if shape[1] < 64:  # border-fix strips need npx+r <= W pixels
+            # The border stitch swaps a full 128-lane block at each edge, so
+            # the row must carry 3*W >= 256 lanes (W >= 86); below that the
+            # XLA path runs (same numerics).
+            if shape[1] < 86:
                 fused = None
         if fused is not None:
             return lambda image: (image, fused(image))

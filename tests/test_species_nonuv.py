@@ -126,6 +126,20 @@ def test_bucketed_executor_no_recompile():
     assert outs[0].shape == (107, 205, 3) and outs[-1].shape == (101, 213, 3)
 
 
+@pytest.mark.parametrize("shape", [(64, 64, 3), (50, 50, 3), (64, 85, 3), (64, 86, 3), (48, 100, 3)])
+def test_narrow_streak_frames(shape, psnr_fn):
+    """Regression (round-2 advisor, medium): the streak kernel's border
+    stitch needs 3*W >= 256 lanes; frames 64-85 px wide (or 33-63 px ones
+    bucketed up to 64) used to crash at trace time. They must route to the
+    XLA path below W=86 and stay sub-LSB on either path."""
+    spec = NONUV_SPECS["horse"]
+    img = _noise_img(shape)
+    _, out_ref = oracles.nonuv_pipeline(img, spec.alpha, spec.s_scale, _spec_effects(spec))
+    _, out = _fresh("horse").visualize(img)
+    assert out.shape == shape
+    assert np.abs(out.astype(int) - out_ref.astype(int)).max() <= 1
+
+
 def test_aligned_shapes_keep_exact_path(img_u8):
     """Standard shapes (h%8==0, w%32==0 — the 64x96 fixture, 1080p, 720p)
     never pad: they compile the exact per-shape program."""
