@@ -18,6 +18,7 @@ from concurrent clients so they share TPU dispatch.
 from __future__ import annotations
 
 import asyncio
+import base64
 import collections
 import json
 import os
@@ -323,10 +324,32 @@ class StreamHub:
                 await asyncio.sleep(idle_sleep)
 
 
+def _web_stack():
+    """(fastapi-like, socketio-like, responses-like) — the real packages
+    when importable, else the vendored stdlib implementations (miniasgi /
+    miniosio), which speak the same ASGI + Socket.IO wire contracts. Either
+    way the SAME handler code below executes."""
+    try:
+        import socketio
+        from fastapi import FastAPI, Request, WebSocket, WebSocketDisconnect
+        from fastapi.responses import HTMLResponse, Response
+
+        return FastAPI, WebSocketDisconnect, HTMLResponse, Response, socketio
+    except ImportError:
+        from animal_vision_tpu.server import miniasgi, miniosio
+
+        return (
+            miniasgi.FastAPI,
+            miniasgi.WebSocketDisconnect,
+            miniasgi.HTMLResponse,
+            miniasgi.Response,
+            miniosio,
+        )
+
+
 def build_asgi_app():
-    """FastAPI + python-socketio app (requires those packages)."""
-    import socketio
-    from fastapi import FastAPI, Request, WebSocket
+    """FastAPI + python-socketio app (vendored-stack fallback built in)."""
+    FastAPI, WebSocketDisconnect, HTMLResponse, Response, socketio = _web_stack()
 
     api = FastAPI()
     sio = socketio.AsyncServer(async_mode="asgi", cors_allowed_origins="*")
@@ -341,20 +364,14 @@ def build_asgi_app():
 
     @api.get("/ui")
     async def ui():
-        from fastapi.responses import HTMLResponse
-
         return HTMLResponse(ui_page())
 
     @api.get("/manifest.webmanifest")
     async def manifest():
-        from fastapi.responses import Response
-
         return Response(MANIFEST_JSON, media_type="application/manifest+json")
 
     @api.get("/sw.js")
     async def sw():
-        from fastapi.responses import Response
-
         return Response(SW_JS, media_type="text/javascript")
 
     @api.post("/getpic")
@@ -378,8 +395,6 @@ def build_asgi_app():
         """Live-video stream: JSON {image: dataURI, animal} in, {image} out.
         The built-in UI prefers this; the reference PWA's Socket.IO
         `sendimage` surface (below) stays for its clients."""
-        from fastapi import WebSocketDisconnect
-
         await websocket.accept()
         try:
             while True:
@@ -409,15 +424,22 @@ def build_asgi_app():
 
     @sio.event
     async def sendimage(sid, image, animal):
+        # binary-capable clients send raw JPEG bytes (the reference's
+        # surface, server.py:39-43); JSON-only transports send a data URI
+        # or bare base64 string — normalize to bytes for processimage.
+        if isinstance(image, str):
+            payload = image.split(",", 1)[1] if "," in image else image
+            image = base64.b64decode(payload)
         hub.enqueue(sid, image, animal)
 
     return app
 
 
 class _StdlibHandler:
-    """Request logic shared by the stdlib fallback server (REST only: the
-    Socket.IO stream needs python-socketio; the /getpic path covers the
-    Picture page's flow, ui/src/Picture.tsx:87-113)."""
+    """Framework-free REST core (path, body) -> (status, payload) — the
+    /getpic flow of the Picture page (ui/src/Picture.tsx:87-113) with zero
+    event-loop requirements, kept for embedders and unit tests; run()
+    serves the full ASGI app (REST + WS + Socket.IO) via miniasgi."""
 
     @staticmethod
     def handle(path: str, body: bytes) -> tuple[int, dict]:
@@ -432,8 +454,10 @@ class _StdlibHandler:
 
 
 def run(host: str = "0.0.0.0", port: int = 8000) -> None:
-    """Run the best available server: uvicorn+FastAPI+socketio if importable,
-    else a stdlib http.server with the REST surface."""
+    """Run the best available server. With uvicorn+FastAPI+socketio
+    installed that stack serves the app; otherwise the vendored stdlib
+    ASGI server (miniasgi) serves the SAME app — REST + /ws + Socket.IO
+    streaming included — so no surface is lost in this environment."""
     try:
         import socketio  # noqa: F401
         import uvicorn
@@ -444,48 +468,10 @@ def run(host: str = "0.0.0.0", port: int = 8000) -> None:
     except ImportError:
         pass
 
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from animal_vision_tpu.server import miniasgi
 
-    class Handler(BaseHTTPRequestHandler):
-        def do_GET(self):
-            if self.path.rstrip("/") == "/ui":
-                body = ui_page().encode()
-                ctype = "text/html"
-            elif self.path == "/manifest.webmanifest":
-                body = MANIFEST_JSON.encode()
-                ctype = "application/manifest+json"
-            elif self.path == "/sw.js":
-                body = SW_JS.encode()
-                ctype = "text/javascript"
-            else:
-                body = b"animal-vision-tpu server (stdlib fallback)"
-                ctype = "text/plain"
-            self.send_response(200)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length)
-            try:
-                code, payload = _StdlibHandler.handle(self.path, body)
-            except Exception as e:
-                code, payload = 500, {"error": str(e)}
-            data = json.dumps(payload).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Access-Control-Allow-Origin", "*")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def log_message(self, *a):  # quiet
-            pass
-
-    print(f"stdlib server on {host}:{port} (REST only; install fastapi+socketio for streaming)")
-    ThreadingHTTPServer((host, port), Handler).serve_forever()
+    print(f"vendored ASGI server on {host}:{port} (REST + WebSocket + Socket.IO)")
+    miniasgi.serve(build_asgi_app(), host=host, port=port)
 
 
 if __name__ == "__main__":
