@@ -219,6 +219,7 @@ def _apply_kernel(
     *, t, wq_n, c, p, h,
 ):
     pc = p * c
+    c4 = 4 * c
     i = pl.program_id(0)
     cur = x_ref[...]  # input block min(i, n-1)
     ti = i - 1  # output tile index (lag-1 emission)
@@ -252,14 +253,46 @@ def _apply_kernel(
     var = _dot(xc * xc, mavg_ref[...])
     y = xc * jax.lax.rsqrt(var + 1e-5) * lns_ref[0] + lnb_ref[0]
 
-    hidden = _gelu(_dot(y, w0_ref[...])).reshape(t + 2, wq_n, 4 * pc)
-    # zero-pad parity: torch computes the FFN on real rows only, then the
-    # depthwise conv zero-pads — rows beyond the image must contribute 0.
+    # FFN with a PLANAR hidden: the 4C-channel hidden fills whole vregs on
+    # its own, so it is materialized as P separate (T+2, Wq, 4C) arrays —
+    # one per in-pack pixel — instead of one (T+2, Wq, P*4C) packed array.
+    # Same MXU FLOPs (w0/w4 carry the kron zeros either way), but the
+    # depthwise 3x3's pixel shifts become 2 cheap sublane shifts at the
+    # pack seams instead of 6 lane-rotation composites over the whole
+    # hidden (the dominant VPU cost of this kernel: measured 13.1 -> the
+    # planar form at L0 full-res).
     gih = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
-    hidden = jnp.where((gih >= 0) & (gih < h), hidden, 0.0)
-    hd = _gelu(_dw3(hidden, dwk_ref[...], 4 * c, p))  # (T, Wq, P*4C)
-    out = _dot(hd.reshape(t * wq_n, 4 * pc), w4_ref[...]).reshape(t, wq_n, pc)
-    o_ref[...] = out + res1[1 : t + 1]
+    hmask = (gih >= 0) & (gih < h)
+    hs = []
+    for po in range(p):
+        hp = _gelu(_dot(y, w0_ref[po])).reshape(t + 2, wq_n, c4)
+        # zero-pad parity: torch computes the FFN on real rows only, then
+        # the depthwise conv zero-pads — rows beyond the image must be 0.
+        hs.append(jnp.where(hmask, hp, 0.0))
+
+    def shl(a):  # previous pack (zero at the row start)
+        return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+
+    def shr(a):  # next pack (zero at the row end)
+        return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+
+    k9 = dwk_ref[...]
+    out = None
+    for po in range(p):
+        left = hs[po - 1] if po > 0 else (shl(hs[p - 1]) if p > 1 else shl(hs[0]))
+        right = hs[po + 1] if po < p - 1 else (shr(hs[0]) if p > 1 else shr(hs[0]))
+        acc = None
+        for dy in range(3):
+            piece = (
+                hs[po][dy : dy + t] * k9[dy * 3 + 1]
+                + left[dy : dy + t] * k9[dy * 3 + 0]
+                + right[dy : dy + t] * k9[dy * 3 + 2]
+            )
+            acc = piece if acc is None else acc + piece
+        h2 = _gelu(acc)  # (T, Wq, 4C)
+        piece = _dot(h2.reshape(t * wq_n, c4), w4_ref[po])
+        out = piece if out is None else out + piece
+    o_ref[...] = out.reshape(t, wq_n, pc) + res1[1 : t + 1]
 
 
 def _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
@@ -278,9 +311,9 @@ def _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
-            pl.BlockSpec((pc, 4 * pc), lambda i: (0, 0)),
-            pl.BlockSpec((9, 4 * pc), lambda i: (0, 0)),
-            pl.BlockSpec((4 * pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((p, pc, 4 * c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((9, 4 * c), lambda i: (0, 0)),
+            pl.BlockSpec((p, 4 * c, pc), lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, wq_n, pc), jnp.float32),
@@ -291,6 +324,24 @@ def _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
     )(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4)
+
+
+def _ffn_planar_weights(ffn_w, c: int, p: int):
+    """(w0 (1,1,C,4C), dwk (3,3,1,4C), w4 (1,1,4C,C) or (4C,C)) -> the
+    planar-hidden operand stack: w0p (P, PC, 4C) / dwk (9, 4C) /
+    w4p (P, 4C, PC), where slice ``po`` maps pack-pixel po's channels to and
+    from its own (T, Wq, 4C) hidden plane (kron zeros included — the MXU
+    cost is identical to the packed block-diagonal form)."""
+    w0 = ffn_w[0].reshape(c, 4 * c).astype(jnp.float32)
+    dwk = ffn_w[1].reshape(9, 4 * c).astype(jnp.float32)
+    w4 = ffn_w[2].reshape(4 * c, c).astype(jnp.float32)
+    pc = p * c
+    w0p = jnp.zeros((p, pc, 4 * c), jnp.float32)
+    w4p = jnp.zeros((p, 4 * c, pc), jnp.float32)
+    for po in range(p):
+        w0p = w0p.at[po, po * c : (po + 1) * c, :].set(w0)
+        w4p = w4p.at[po, :, po * c : (po + 1) * c].set(w4)
+    return w0p, dwk, w4p
 
 
 def _pick_t(h: int, c: int) -> int:
@@ -326,9 +377,7 @@ def fused_msab_block(x, attn_w, ln_w, ffn_w, *, heads):
     mavg = jnp.kron(eye, jnp.full((c, c), 1.0 / c, jnp.float32))
     lns = tile(ln_w[0], p)
     lnb = tile(ln_w[1], p)
-    w0 = kron(ffn_w[0].reshape(c, 4 * c))
-    dwk = jnp.tile(ffn_w[1].reshape(9, 4 * c).astype(jnp.float32), (1, p))
-    w4 = kron(ffn_w[2].reshape(4 * c, c))
+    w0, dwk, w4 = _ffn_planar_weights(ffn_w, c, p)
 
     # pack: (H, W, C) -> (H, Wq, P*C) is a free row-major reshape; pad W to
     # a multiple of P with zeros (exactly torch's zero-pad for the dwconvs;
@@ -510,9 +559,7 @@ def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p):
     mavg = jnp.kron(eye, jnp.full((c, c), 1.0 / c, jnp.float32))
     lns = tile(ln_w[0], p)
     lnb = tile(ln_w[1], p)
-    w0 = kron(ffn_w[0].reshape(c, 4 * c))
-    dwk = jnp.tile(ffn_w[1].reshape(9, 4 * c).astype(jnp.float32), (1, p))
-    w4 = kron(ffn_w[2].reshape(4 * c, c))
+    w0, dwk, w4 = _ffn_planar_weights(ffn_w, c, p)
 
     t = _pick_t(int(xp.shape[0]), c)
     g_p, sq_p, sk_p = _attn_stats(xp, wq_p, wk_p, t)

@@ -1,5 +1,8 @@
-"""Scratch: time the fused MSAB passes at each level, plus the XLA convs
-between blocks, to see where full-res MST++ time goes."""
+"""Profile the packed full-res MST++ pipeline: per-level MSAB pass A / pass
+B, the packed convs, one whole packed MST stage, and the end-to-end model —
+so README's stage breakdown (VERDICT round-2 weak #2) is measured, not
+guessed. Chained-dispatch timing with a scalar sync (block_until_ready does
+not block on the axon tunnel)."""
 import time
 
 import jax
@@ -7,52 +10,105 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def timeit(fn, *args, iters=20):
     y = fn(*args)
     _ = float(jnp.sum(jax.tree.leaves(y)[0][:1, :1]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn(*args)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fn(*args)
+        _ = float(jnp.sum(jax.tree.leaves(y)[0][:1, :1]))
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def chain(fn, x, iters=20):
+    """Time fn by feeding its output back (same shape in/out)."""
+    y = fn(x)
     _ = float(jnp.sum(jax.tree.leaves(y)[0][:1, :1]))
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(iters):
+            y = fn(y)
+        _ = float(jnp.sum(jax.tree.leaves(y)[0][:1, :1]))
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
 
 
 def main():
     from animal_vision_tpu.ops import fused_msab as F
 
     rng = np.random.default_rng(0)
-    for name, H, W, heads in [("L0", 1088, 1920, 1), ("L1", 544, 960, 2), ("L2", 272, 480, 4)]:
-        C = 31 * heads
-        x = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32) * 0.3)
-        def mk(*s, scale=0.2):
-            return jnp.asarray(rng.standard_normal(s).astype(np.float32) * scale)
-        wq, wk, wv, wp = mk(C, C), mk(C, C), mk(C, C), mk(C, C)
-        bp, pk0, pk2 = mk(1, C), mk(9, C), mk(9, C)
-        lns, lnb = jnp.ones((1, C)), jnp.zeros((1, C))
-        w0, dwk, w4 = mk(C, 4 * C), mk(9, 4 * C), mk(4 * C, C)
-        abd = mk(C, C)
-        t = F._pick_t(H, C)
 
-        f_stats = jax.jit(lambda a, b, c_: F._attn_stats(a, b, c_, t=t))
-        f_apply = jax.jit(lambda *a: F._apply(*a, t=t))
-        ta = timeit(f_stats, x, wq, wk)
-        tb = timeit(f_apply, x, abd, wv, wp, bp, pk0, pk2, lns, lnb, w0, dwk, w4)
-        gb = x.size * 4 / 1e9
-        print(f"{name} ({H}x{W}x{C}, t={t}): passA {ta:.2f} ms  passB {tb:.2f} ms  "
-              f"(x = {gb*1e3:.0f} MB; passB eff bw {(2*gb)/(tb/1e3):.0f} GB/s)")
+    def mk(*s, scale=0.2):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * scale)
 
-    # XLA conv3x3 31->31 at full-res for comparison
-    x = jnp.asarray(rng.standard_normal((1, 1088, 1920, 31)).astype(np.float32) * 0.3)
-    k = jnp.asarray(rng.standard_normal((3, 3, 31, 31)).astype(np.float32) * 0.1)
-    conv = jax.jit(lambda v: jax.lax.conv_general_dilated(
-        v, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
-    print(f"XLA conv3x3 31->31 @L0: {timeit(conv, x):.2f} ms")
-    k2 = jnp.asarray(rng.standard_normal((4, 4, 31, 62)).astype(np.float32) * 0.1)
-    down = jax.jit(lambda v: jax.lax.conv_general_dilated(
-        v, k2, (2, 2), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")))
-    print(f"XLA conv4x4s2 31->62 @L0: {timeit(down, x):.2f} ms")
+    H0, W0 = 1088, 1920
+    for name, H, W, c, p in [
+        ("L0", H0, W0, 31, 4),
+        ("L1", H0 // 2, W0 // 2, 62, 2),
+        ("L2", H0 // 4, W0 // 4, 124, 1),
+    ]:
+        heads = c // 31
+        pc = p * c
+        wq_n = W // p
+        xp = mk(H, wq_n, pc, scale=0.3)
+        attn_w = {
+            "to_q": mk(c, c), "to_k": mk(c, c), "to_v": mk(c, c),
+            "rescale": mk(heads, 1, 1, scale=1.0),
+            "proj_kernel": mk(c, c), "proj_bias": mk(c, scale=0.0),
+            "pos_emb_0": mk(3, 3, 1, c), "pos_emb_2": mk(3, 3, 1, c),
+        }
+        ln_w = (jnp.ones((c,)), jnp.zeros((c,)))
+        ffn_w = (mk(1, 1, c, 4 * c), mk(3, 3, 1, 4 * c), mk(4 * c, c).reshape(1, 1, 4 * c, c))
+
+        t = F._pick_t(H, c)
+        eye = jnp.eye(p, dtype=jnp.float32)
+        kron = lambda m: jnp.kron(eye, m.astype(jnp.float32))
+        wq_p, wk_p = kron(attn_w["to_q"]), kron(attn_w["to_k"])
+        f_stats = jax.jit(lambda a: F._attn_stats(a, wq_p, wk_p, t))
+        ta = timeit(f_stats, xp)
+        f_blk = jax.jit(
+            lambda a: F.msab_packed(a, attn_w, ln_w, ffn_w, heads=heads, c=c, p=p)
+        )
+        tblk = chain(f_blk, xp)
+        gb = xp.size * 4 / 1e9
+        print(
+            f"{name} ({H}x{W} c={c} p={p}, t={t}): passA {ta:.2f} ms  "
+            f"msab(A+glue+B) {tblk:.2f} ms  passB~{tblk - ta:.2f} ms  "
+            f"(x {gb * 1e3:.0f} MB; 2-pass floor@150GB/s {2 * gb / 0.15 * 1e3:.2f} ms)"
+        )
+
+    # packed convs at L0
+    xp = mk(H0, W0 // 4, 124, scale=0.3)
+    k33 = mk(3, 3, 31, 31, scale=0.1)
+    f = jax.jit(lambda v: F.packed_conv3x3(v, k33, 31, 4))
+    print(f"packed conv3x3 31->31 @L0: {chain(f, xp):.2f} ms")
+    k44 = mk(4, 4, 31, 62, scale=0.1)
+    fd = jax.jit(lambda v: F.packed_down4x4(v, k44, 31, 4))
+    print(f"packed down4x4 31->62 @L0: {timeit(fd, xp):.2f} ms")
+
+    # one full packed MST stage + the full model
+    from animal_vision_tpu.models.mst_plus_plus import MST, MSTPlusPlus
+
+    mst = MST(dim=31, stage=2, num_blocks=(1, 1, 1))
+    v = mst.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 31)))
+    sw = mst.apply(v, None, weights_only=True)
+    f_stage = jax.jit(lambda a: F.mst_stage_packed(a, sw))
+    print(f"mst_stage_packed @1080p: {chain(f_stage, xp):.2f} ms")
+
+    model = MSTPlusPlus()
+    x = mk(1, 1080, 1920, 3, scale=0.3)
+    vm = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    f_model = jax.jit(lambda a: model.apply(vm, a))
+    tm = timeit(f_model, x, iters=5)
+    print(f"MST++ full-res 1080p: {tm:.2f} ms/frame")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,182 @@
+"""Ablate pass B's components at L0 full-res to find the real cost:
+variants drop gelu / dw3 / pos_emb / LN / matmuls one at a time.
+Each variant is a private copy of _apply_kernel with pieces disabled."""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from animal_vision_tpu.ops import fused_msab as F
+
+
+def timeit(fn, *args, iters=20):
+    y = fn(*args)
+    _ = float(jnp.sum(jax.tree.leaves(y)[0][:1, :1]))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fn(*args)
+        _ = float(jnp.sum(jax.tree.leaves(y)[0][:1, :1]))
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def make_kernel(*, gelu_on, dw3_on, pos_on, ln_on, ffn_mm_on, attn_on):
+    def kern(
+        x_ref, wv_ref, wa_ref, bp_ref, pk0_ref, pk2_ref, mavg_ref,
+        lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, o_ref, a_scr, b_scr,
+        *, t, wq_n, c, p, h,
+    ):
+        pc = p * c
+        c4 = 4 * c
+        gelu = F._gelu if gelu_on else (lambda v: v)
+        i = pl.program_id(0)
+        cur = x_ref[...]
+        ti = i - 1
+        win = jnp.concatenate([b_scr[...], a_scr[...], cur[:3]], axis=0)
+        gi = ti * t - 3 + jax.lax.broadcasted_iota(jnp.int32, (t + 6, 1, 1), 0)
+        win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
+        b_scr[...] = a_scr[t - 3 :]
+        a_scr[...] = cur
+
+        if pos_on:
+            flat = win.reshape((t + 6) * wq_n, pc)
+            v3 = F._dot(flat, wv_ref[...]).reshape(t + 6, wq_n, pc)
+            g1 = gelu(F._dw3(v3, pk0_ref[...], c, p))
+            gig = ti * t - 2 + jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0)
+            g1 = jnp.where((gig >= 0) & (gig < h), g1, 0.0)
+            pos = F._dw3(g1, pk2_ref[...], c, p)
+        else:
+            pos = 0.0
+
+        flat_c = win[2 : t + 4].reshape((t + 2) * wq_n, pc)
+        if attn_on:
+            attnout = F._dot(flat_c, wa_ref[...]).reshape(t + 2, wq_n, pc)
+            res1 = attnout + bp_ref[0] + pos + win[2 : t + 4]
+        else:
+            res1 = win[2 : t + 4] + pos
+
+        r2 = res1.reshape((t + 2) * wq_n, pc)
+        if ln_on:
+            mu = F._dot(r2, mavg_ref[...])
+            xc = r2 - mu
+            var = F._dot(xc * xc, mavg_ref[...])
+            y = xc * jax.lax.rsqrt(var + 1e-5) * lns_ref[0] + lnb_ref[0]
+        else:
+            y = r2
+
+        gih = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
+        hmask = (gih >= 0) & (gih < h)
+        hs = []
+        for po in range(p):
+            if ffn_mm_on:
+                hp = gelu(F._dot(y, w0_ref[po])).reshape(t + 2, wq_n, c4)
+            else:
+                hp = gelu(y[:, : c4].reshape(-1, wq_n, c4)[: t + 2])
+            hs.append(jnp.where(hmask, hp, 0.0))
+
+        def shl(a):
+            return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+
+        def shr(a):
+            return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+
+        k9 = dwk_ref[...]
+        out = None
+        for po in range(p):
+            if dw3_on:
+                left = hs[po - 1] if po > 0 else shl(hs[p - 1])
+                right = hs[po + 1] if po < p - 1 else shr(hs[0])
+                acc = None
+                for dy in range(3):
+                    piece = (
+                        hs[po][dy : dy + t] * k9[dy * 3 + 1]
+                        + left[dy : dy + t] * k9[dy * 3 + 0]
+                        + right[dy : dy + t] * k9[dy * 3 + 2]
+                    )
+                    acc = piece if acc is None else acc + piece
+            else:
+                acc = hs[po][1 : t + 1]
+            h2 = gelu(acc)
+            if ffn_mm_on:
+                piece = F._dot(h2.reshape(t * wq_n, c4), w4_ref[po])
+            else:
+                piece = jnp.pad(h2.reshape(t * wq_n, c4), ((0, 0), (0, pc - c4)))[:, :pc]
+            out = piece if out is None else out + piece
+        o_ref[...] = out.reshape(t, wq_n, pc) + res1[1 : t + 1]
+
+    return kern
+
+
+def run_variant(name, xp, ops, t, c, p, **flags):
+    h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
+    n = -(-h // t)
+    kern = make_kernel(**flags)
+    f = pl.pallas_call(
+        functools.partial(kern, t=t, wq_n=wq_n, c=c, p=p, h=h),
+        grid=(n + 1,),
+        in_specs=[
+            pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((1, pc), lambda i: (0, 0)),
+            pl.BlockSpec((9, pc), lambda i: (0, 0)),
+            pl.BlockSpec((9, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((1, pc), lambda i: (0, 0)),
+            pl.BlockSpec((1, pc), lambda i: (0, 0)),
+            pl.BlockSpec((p, pc, 4 * c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((9, 4 * c), lambda i: (0, 0)),
+            pl.BlockSpec((p, 4 * c, pc), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, wq_n, pc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t, wq_n, pc), jnp.float32),
+            pltpu.VMEM((3, wq_n, pc), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )
+    g = jax.jit(lambda a: f(a, *ops))
+    print(f"  {name}: {timeit(g, xp):.2f} ms", flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    def mk(*s, scale=0.2):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * scale)
+
+    H, W, c, p = 1088, 1920, 31, 4
+    pc, c4 = p * c, 4 * c
+    xp = mk(H, W // p, pc, scale=0.3)
+    ops = (
+        mk(pc, pc), mk(pc, pc), mk(1, pc), mk(9, pc), mk(9, pc), mk(pc, pc),
+        jnp.ones((1, pc)), jnp.zeros((1, pc)),
+        mk(p, pc, c4), mk(9, c4), mk(p, c4, pc),
+    )
+    t = F._pick_t(H, c)
+    base = dict(gelu_on=True, dw3_on=True, pos_on=True, ln_on=True, ffn_mm_on=True, attn_on=True)
+    run_variant("full", xp, ops, t, c, p, **base)
+    run_variant("no_gelu", xp, ops, t, c, p, **{**base, "gelu_on": False})
+    run_variant("no_dw3", xp, ops, t, c, p, **{**base, "dw3_on": False})
+    run_variant("no_pos", xp, ops, t, c, p, **{**base, "pos_on": False})
+    run_variant("no_ln", xp, ops, t, c, p, **{**base, "ln_on": False})
+    run_variant("no_ffn_mm", xp, ops, t, c, p, **{**base, "ffn_mm_on": False})
+    run_variant("no_attn_mm", xp, ops, t, c, p, **{**base, "attn_on": False})
+    run_variant(
+        "copy_only", xp, ops, t, c, p,
+        gelu_on=False, dw3_on=False, pos_on=False, ln_on=False, ffn_mm_on=False, attn_on=False,
+    )
+
+
+if __name__ == "__main__":
+    main()
