@@ -65,11 +65,20 @@ def _x_segments_id(w: int, kern: tuple, channels: int, seg_px: int = 128):
     return plan, distinct
 
 
-def _blur_kernel(p_ref, a_ref, b_ref, my_ref, *refs, segs, radius, t_rows, channels):
+def _blur_kernel(p_ref, a_ref, b_ref, my_ref, *refs, segs, radius, t_rows, channels, h):
     *mx_refs, o_ref = refs
     win = jnp.concatenate(
         [p_ref[t_rows - radius :, :], a_ref[...], b_ref[:radius, :]], axis=0
     )
+    # Zero rows outside the image. The Y-matrices already give them zero
+    # weight, but a partial tail block makes Pallas read *uninitialized*
+    # VMEM there, and 0 * inf/NaN garbage = NaN (seen in production at
+    # H=507: the whole last tile went NaN). f32 inputs only — the uint8
+    # kernels' garbage is always finite.
+    gi = pl.program_id(0) * t_rows - radius + jax.lax.broadcasted_iota(
+        jnp.int32, (t_rows + 2 * radius, 1), 0
+    )
+    win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
     my = my_ref[0]
     for a, out_start, out_px, mid in segs:
         mx_hi, mx_lo = mx_refs[2 * mid], mx_refs[2 * mid + 1]
@@ -112,7 +121,7 @@ def fused_gaussian_blur(img: jnp.ndarray, sigma: float, ksize: int | None = None
 
     out = pl.pallas_call(
         functools.partial(
-            _blur_kernel, segs=plan, radius=radius, t_rows=t_rows, channels=c
+            _blur_kernel, segs=plan, radius=radius, t_rows=t_rows, channels=c, h=h
         ),
         grid=(n,),
         in_specs=in_specs,
