@@ -129,10 +129,25 @@ def radial_sigmoid_mask(
 def peripheral_blur(
     img: jnp.ndarray, sigma: float, radius: float, softness: float
 ) -> jnp.ndarray:
-    """Radial blend with an extra-blurred copy (sharp center, soft edges)."""
+    """Radial blend with an extra-blurred copy (sharp center, soft edges).
+
+    Under an active bucket context the mask comes from the REAL frame's
+    reflected coordinates (core.bucketctx), so a padded-bucket program
+    reproduces the exact geometry."""
+    from animal_vision_tpu.core import bucketctx
+
     if sigma <= 0.0:
         return img
     soft = _blur.gaussian_blur_uv(img, sigma)
-    t = jnp.asarray(radial_sigmoid_mask((int(img.shape[0]), int(img.shape[1])), radius, softness))
+    ctx = bucketctx.current()
+    if ctx is not None and (int(img.shape[0]), int(img.shape[1])) == (ctx.bh, ctx.bw):
+        yy = ctx.norm_rows()[:, None]
+        xx = ctx.norm_cols()[None, :]
+        r = jnp.sqrt(xx * xx + yy * yy)
+        t = 1.0 / (1.0 + jnp.exp(-softness * (r - radius)))
+    else:
+        t = jnp.asarray(
+            radial_sigmoid_mask((int(img.shape[0]), int(img.shape[1])), radius, softness)
+        )
     t = t[..., None]
     return (1.0 - t) * img + t * soft

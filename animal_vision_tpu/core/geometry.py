@@ -153,6 +153,28 @@ def _apply_taps(img: jnp.ndarray, idx: np.ndarray, w: np.ndarray, axis: int) -> 
     return out
 
 
+def dense_axis_matrix(src: int, dst: int, interp: str) -> np.ndarray:
+    """(dst, src) dense resize matrix for ONE axis with cv2-exact
+    coefficients — the building block for padded-bucket UV programs, where
+    resize tables become *operands* instead of compile-time constants."""
+    if interp == "area" and dst <= src:
+        return _area_matrix(src, dst)
+    builder = {
+        "linear": _linear_taps,
+        "cubic": _cubic_taps,
+        "nearest": _nearest_taps,
+        "area": _area_upscale_taps,
+    }[interp]
+    idx, w = builder(src, dst)
+    return _taps_to_dense(idx, w, src).T.copy()
+
+
+def apply_dense(img: jnp.ndarray, m, axis: int) -> jnp.ndarray:
+    """Apply a (dst, src) dense per-axis resize matrix (may be a traced
+    operand) along ``axis`` at full f32 precision."""
+    return _apply_dense(img, m, axis)
+
+
 def _apply_dense(img: jnp.ndarray, m: np.ndarray, axis: int) -> jnp.ndarray:
     moved = jnp.moveaxis(img, axis, 0)
     flat = moved.reshape(moved.shape[0], -1)

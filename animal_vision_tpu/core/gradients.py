@@ -43,10 +43,31 @@ def structure_tensor(
     UV-helper blur kernel sizing."""
     gx = sobel_x(img2d)
     gy = sobel_y(img2d)
+    gxy = gx * gy
+    ctx = _bucket_ctx_for(img2d)
+    if ctx is not None:
+        # Padded-bucket exactness: under reflection gx is symmetric across a
+        # row mirror and antisymmetric across a column mirror (gy the
+        # transpose), so the mirror padding holds -gxy exactly where the
+        # exact program's reflect-101 blur border would read +gxy. The
+        # squares are sign-free; gxy needs one cheap sign flip in the
+        # (row XOR col) padding region before the blur.
+        rows = jnp.arange(ctx.bh, dtype=jnp.int32)[:, None] >= ctx.hr
+        cols = jnp.arange(ctx.bw, dtype=jnp.int32)[None, :] >= ctx.wr
+        gxy = jnp.where(rows ^ cols, -gxy, gxy)
     jxx = _blur.gaussian_blur_uv(gx * gx, sigma)
-    jxy = _blur.gaussian_blur_uv(gx * gy, sigma)
+    jxy = _blur.gaussian_blur_uv(gxy, sigma)
     jyy = _blur.gaussian_blur_uv(gy * gy, sigma)
     return jxx, jxy, jyy
+
+
+def _bucket_ctx_for(img2d: jnp.ndarray):
+    from animal_vision_tpu.core import bucketctx
+
+    ctx = bucketctx.current()
+    if ctx is not None and (int(img2d.shape[0]), int(img2d.shape[1])) == (ctx.bh, ctx.bw):
+        return ctx
+    return None
 
 
 def coherence_energy(

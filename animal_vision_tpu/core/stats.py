@@ -48,8 +48,23 @@ def percentile(x: jnp.ndarray, q: float) -> jnp.ndarray:
 
     On TPU the two order stats come from exact bit-bisection (counting
     passes) instead of jnp.percentile's full sort; on CPU (tests, eager)
-    jnp.percentile is used directly. Both are exact order statistics."""
+    jnp.percentile is used directly. Both are exact order statistics.
+
+    Under an active bucket context (core.bucketctx) whose dims match ``x``,
+    the statistic is computed over the REAL frame region only — the masked
+    value set equals the exact program's, so the result is identical."""
+    from animal_vision_tpu.core import bucketctx
+
     x = x.astype(jnp.float32)
+    ctx = bucketctx.current()
+    if ctx is not None and x.ndim >= 2:
+        valid = ctx.valid_for(x.shape)
+        if valid is not None:
+            n_valid = ctx.n_valid_for(x.shape)
+            if x.ndim == 3:
+                valid = jnp.broadcast_to(valid[..., None], x.shape)
+                n_valid = n_valid * int(x.shape[2])
+            return _percentile_masked(x, valid, n_valid, float(q))
     if jax.default_backend() == "cpu":
         return jnp.percentile(x, q)
     n = int(x.size)
@@ -68,6 +83,30 @@ def percentile(x: jnp.ndarray, q: float) -> jnp.ndarray:
     val1 = _order_to_f32(jnp.min(bigger))
     val1 = jnp.where(cnt0 >= k0 + 2, val0, val1)
     return val0 + jnp.float32(frac) * (val1 - val0)
+
+
+def _percentile_masked(x: jnp.ndarray, valid: jnp.ndarray, n_valid, q: float):
+    """Exact percentile over ``x[valid]`` with a *traced* element count.
+
+    k0/frac are data (the real frame size varies per call of one compiled
+    bucket program), so the interpolation branch is a where, not Python."""
+    v = (n_valid.astype(jnp.float32) - 1.0) * (q / 100.0)
+    k0 = jnp.floor(v).astype(jnp.int32)
+    frac = v - k0.astype(jnp.float32)
+    if jax.default_backend() == "cpu":
+        s = jnp.sort(jnp.where(valid, x, jnp.inf).ravel())
+        val0 = jnp.take(s, k0)
+        val1 = jnp.take(s, jnp.minimum(k0 + 1, s.shape[0] - 1))
+    else:
+        u = jnp.where(valid.ravel(), _f32_to_order(x.ravel()), jnp.uint32(0xFFFFFFFF))
+        o0 = _kth_order_stat(u, k0)
+        val0 = _order_to_f32(o0)
+        cnt0 = jnp.sum((u <= o0).astype(jnp.int32))
+        bigger = jnp.where(u > o0, u, jnp.uint32(0xFFFFFFFF))
+        val1 = _order_to_f32(jnp.min(bigger))
+        val1 = jnp.where(cnt0 >= k0 + 2, val0, val1)
+    interp = val0 + frac * (val1 - val0)
+    return jnp.where((frac == 0.0) | (k0 + 1 >= n_valid), val0, interp)
 
 
 def safe_norm(x: jnp.ndarray) -> jnp.ndarray:

@@ -21,10 +21,33 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from animal_vision_tpu.core import color, geometry
+from animal_vision_tpu.core import bucketctx, color, geometry
 from animal_vision_tpu.species.base import Animal
 from animal_vision_tpu.spectral import bands as spectral_bands
 from animal_vision_tpu.spectral import classic
+
+
+def _mirror_rows(m: np.ndarray, real: int, total: int) -> np.ndarray:
+    """Embed an (real, S) table into (total, S) with reflect-101 row fill:
+    padded output row i reproduces real row 2(real-1)-i, so the table's
+    output carries the mirror invariant ('padding = reflection of the real
+    content') *exactly* — no in-program re-reflection pass is needed."""
+    out = np.zeros((total, m.shape[1]), dtype=np.float32)
+    out[:real] = m
+    for i in range(real, total):
+        out[i] = m[2 * real - 2 - i]
+    return out
+
+
+def _warp_cols_matrix(w: int, scale_x: float) -> np.ndarray:
+    """(w, w) dense matrix of panorama_warp's width axis: cubic widen to
+    round(w*scale) composed with the center crop (geometry.panorama_warp)."""
+    new_w = max(2, int(np.round(w * scale_x)))
+    m = geometry.dense_axis_matrix(w, new_w, "cubic")  # (new_w, w)
+    if new_w == w:
+        return m
+    start = (new_w - w) // 2
+    return m[start : start + w]
 
 
 def compute_band_maps(
@@ -103,17 +126,24 @@ class UVAnimal(Animal):
         self._programs.clear()
         return self
 
-    def _build_program(self, shape, dtype):
+    def _chain(self, dtype, warp_fn, down_fn, up_fn):
+        """The shared species chain with the shape-dependent geometry
+        injected: ``warp_fn`` (panorama or identity), ``down_fn``/``up_fn``
+        (the HSI speed path's resizes, or None when hsi_scale >= 1)."""
         specs = self._band_specs()
         cols = band_weight_columns(self.lambdas, specs)
+        g = classic.lobe_matrix(tuple(float(v) for v in np.asarray(self.lambdas)))
+
+        def maps_of(x):
+            lin = color.srgb_to_linear(x.astype(jnp.float32))
+            cube = jnp.einsum("...c,cb->...b", lin, jnp.asarray(g), precision="highest")
+            cube = jnp.maximum(cube, 0.0)
+            return jnp.einsum("...b,bn->...n", cube, jnp.asarray(cols), precision="highest")
 
         def fn(image):
             img01 = color.to_float01(image)
             img_lin = color.srgb_to_linear(img01)
-            if self.panorama_scale and abs(self.panorama_scale - 1.0) >= 1e-3:
-                baseline_lin = geometry.panorama_warp(img_lin, self.panorama_scale)
-            else:
-                baseline_lin = img_lin
+            baseline_lin = warp_fn(img_lin)
             baseline_srgb = color.linear_to_srgb(jnp.clip(baseline_lin, 0.0, 1.0))
             baseline_out = color.from_float01(baseline_srgb, dtype)
 
@@ -122,27 +152,137 @@ class UVAnimal(Animal):
                 # analytic converter uses (every UV species defaults to
                 # hsi_scale 0.25, SURVEY.md §6) — band-integrate at the small
                 # resolution and bilinearly upsample the few band maps.
-                h, w = int(baseline_lin.shape[0]), int(baseline_lin.shape[1])
-                if 0.0 < self.hsi_scale < 1.0:
-                    hs = max(1, int(round(h * self.hsi_scale)))
-                    ws = max(1, int(round(w * self.hsi_scale)))
-                    small = geometry.resize(baseline_lin, (hs, ws), "area")
+                if down_fn is not None:
+                    small = down_fn(baseline_lin)
                     cube = self.hsi_provider(small)
                     maps_small = jnp.einsum(
                         "...b,bn->...n", cube, jnp.asarray(cols), precision="highest"
                     )
-                    maps = geometry.resize(maps_small, (h, w), "linear")
+                    maps = up_fn(maps_small)
                 else:
                     cube = self.hsi_provider(baseline_lin)
                     maps = jnp.einsum(
                         "...b,bn->...n", cube, jnp.asarray(cols), precision="highest"
                     )
+            elif down_fn is not None:
+                maps = up_fn(maps_of(down_fn(baseline_lin)))
             else:
-                maps = compute_band_maps(baseline_lin, self.lambdas, cols, self.hsi_scale)
+                maps = maps_of(baseline_lin)
             render = self._render(baseline_lin, maps)
             out = color.from_float01(
                 color.linear_to_srgb(jnp.clip(render, 0.0, 1.0)), dtype
             )
             return baseline_out, out
+
+        return fn
+
+    def _build_program(self, shape, dtype):
+        h, w = int(shape[0]), int(shape[1])
+        if self.panorama_scale and abs(self.panorama_scale - 1.0) >= 1e-3:
+            warp_fn = lambda x: geometry.panorama_warp(x, self.panorama_scale)
+        else:
+            warp_fn = lambda x: x
+        down_fn = up_fn = None
+        if 0.0 < self.hsi_scale < 1.0:
+            hs = max(1, int(round(h * self.hsi_scale)))
+            ws = max(1, int(round(w * self.hsi_scale)))
+            down_fn = lambda x: geometry.resize(x, (hs, ws), "area")
+            up_fn = lambda x: geometry.resize(x, (h, w), "linear")
+        return self._chain(dtype, warp_fn, down_fn, up_fn)
+
+    # -- padded-bucket programs (SURVEY.md §7 hard-part 5) -----------------
+    #: opt-in per species: the bucket path needs every shape-dependent
+    #: construct of _render covered by core.bucketctx (global percentiles,
+    #: radial masks, vertical priors). Audited species set it True.
+    bucketable = False
+    #: minimum padding rows/cols: in-program reflect-101 convs corrupt the
+    #: mirror invariant inward from the BUCKET border by ~sum of kernel
+    #: radii over the longest sequential conv chain; the pad must absorb
+    #: that so the real interior stays exact.
+    bucket_pad_min = 48
+
+    def _small_dims(self, h: int, w: int) -> tuple[int, int]:
+        return (
+            max(1, int(round(h * self.hsi_scale))),
+            max(1, int(round(w * self.hsi_scale))),
+        )
+
+    def _bucket_plan(self, shape, dtype):
+        if not self.bucketable:
+            return None
+        h, w = int(shape[0]), int(shape[1])
+        if h % 8 == 0 and w % 32 == 0:
+            return None  # standard/aligned shapes keep the exact program
+        if min(h, w) < 2 * self.bucket_pad_min:
+            return None  # reflect mirrors need pad < dim: tiny frames exact
+
+        def up(v):
+            b = -(-v // 64) * 64
+            while b - v < self.bucket_pad_min:
+                b += 64
+            return b
+
+        bh, bw = up(h), up(w)
+        if bh - h > h - 1 or bw - w > w - 1:
+            return None  # reflect padding needs pad <= dim-1
+        if 0.0 < self.hsi_scale < 1.0:
+            hs, ws = self._small_dims(h, w)
+            hs_b, ws_b = self._small_dims(bh, bw)
+            # mirror table rows 2*real-2-i must stay in range
+            if hs_b > 2 * hs - 1 or ws_b > 2 * ws - 1:
+                return None
+        return bh, bw
+
+    def _bucket_aux(self, shape, bucket_shape):
+        h, w = int(shape[0]), int(shape[1])
+        bh, bw = int(bucket_shape[0]), int(bucket_shape[1])
+        aux = {"hr": np.int32(h), "wr": np.int32(w)}
+        if self.panorama_scale and abs(self.panorama_scale - 1.0) >= 1e-3:
+            m = _warp_cols_matrix(w, self.panorama_scale)  # (w, w)
+            mp = np.zeros((bw, bw), np.float32)
+            mp[:w, :w] = m
+            aux["warp"] = _mirror_rows(mp[:w], w, bw)
+        if 0.0 < self.hsi_scale < 1.0:
+            hs, ws = self._small_dims(h, w)
+            hs_b, ws_b = self._small_dims(bh, bw)
+            aux["hsr"] = np.int32(hs)
+            aux["wsr"] = np.int32(ws)
+
+            def table(src, dst, src_b, dst_b, interp):
+                m = geometry.dense_axis_matrix(src, dst, interp)  # (dst, src)
+                mp = np.zeros((dst, src_b), np.float32)
+                mp[:, :src] = m
+                return _mirror_rows(mp, dst, dst_b)
+
+            aux["down_y"] = table(h, hs, bh, hs_b, "area")
+            aux["down_x"] = table(w, ws, bw, ws_b, "area")
+            aux["up_y"] = table(hs, h, hs_b, bh, "linear")
+            aux["up_x"] = table(ws, w, ws_b, bw, "linear")
+        return aux
+
+    def _build_bucket_program(self, bucket_shape, dtype):
+        bh, bw = int(bucket_shape[0]), int(bucket_shape[1])
+        smallpath = 0.0 < self.hsi_scale < 1.0
+        hs_b, ws_b = self._small_dims(bh, bw) if smallpath else (0, 0)
+        pan = self.panorama_scale and abs(self.panorama_scale - 1.0) >= 1e-3
+
+        def fn(image, aux):
+            small = (aux["hsr"], aux["wsr"], hs_b, ws_b) if smallpath else None
+            ctx = bucketctx.BucketCtx(aux["hr"], aux["wr"], bh, bw, small=small)
+            warp_fn = (
+                (lambda x: geometry.apply_dense(x, aux["warp"], axis=1))
+                if pan
+                else (lambda x: x)
+            )
+            down_fn = up_fn = None
+            if smallpath:
+                down_fn = lambda x: geometry.apply_dense(
+                    geometry.apply_dense(x, aux["down_y"], 0), aux["down_x"], 1
+                )
+                up_fn = lambda x: geometry.apply_dense(
+                    geometry.apply_dense(x, aux["up_y"], 0), aux["up_x"], 1
+                )
+            with bucketctx.active(ctx):
+                return self._chain(dtype, warp_fn, down_fn, up_fn)(image)
 
         return fn

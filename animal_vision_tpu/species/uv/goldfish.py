@@ -16,6 +16,7 @@ from animal_vision_tpu.species.uv.common import UVAnimal
 
 
 class Goldfish(UVAnimal):
+    bucketable = True
     lambdas = np.linspace(300.0, 700.0, 81, dtype=np.float32)
     hsi_scale = 0.25
     panorama_scale = 1.45

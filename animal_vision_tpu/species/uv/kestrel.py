@@ -11,12 +11,13 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from animal_vision_tpu.core import blur, effects, gradients
+from animal_vision_tpu.core import blur, bucketctx, effects, gradients
 from animal_vision_tpu.core.stats import percentile, safe_norm
 from animal_vision_tpu.species.uv.common import UVAnimal
 
 
 class Kestrel(UVAnimal):
+    bucketable = True
     lambdas = np.linspace(300.0, 700.0, 81, dtype=np.float32)
     hsi_scale = 0.25
     panorama_scale = 1.10
@@ -39,11 +40,8 @@ class Kestrel(UVAnimal):
         return [(320.0, 400.0), (440.0, 500.0), (500.0, 570.0), (600.0, 680.0)]
 
     def _ridge(self, u):
-        gx = gradients.sobel_x(u)
-        gy = gradients.sobel_y(u)
-        gxx = blur.gaussian_blur_uv(gx * gx, self.ridge_sigma)
-        gyy = blur.gaussian_blur_uv(gy * gy, self.ridge_sigma)
-        gxy = blur.gaussian_blur_uv(gx * gy, self.ridge_sigma)
+        # structure_tensor carries the padded-bucket gxy sign fix
+        gxx, gxy, gyy = gradients.structure_tensor(u, self.ridge_sigma)
         trace = gxx + gyy
         root = jnp.sqrt(jnp.maximum((0.5 * (gxx - gyy)) ** 2 + gxy * gxy, 0.0))
         lam1 = 0.5 * trace + root
@@ -59,7 +57,14 @@ class Kestrel(UVAnimal):
         bv = safe_norm(maps[..., 1])
         gv = safe_norm(maps[..., 2])
 
-        vert_prior = jnp.asarray(np.linspace(1.0, 0.0, h, dtype=np.float32))[:, None]
+        ctx = bucketctx.current()
+        if ctx is not None and (h, w) == (ctx.bh, ctx.bw):
+            # linspace(1, 0, h)[i] == 1 - i/(h-1), at the reflected real-row
+            # coordinate so the padding mirrors the frame content.
+            hr = ctx.hr.astype(jnp.float32)
+            vert_prior = (1.0 - ctx.refl_rows() / jnp.maximum(hr - 1.0, 1.0))[:, None]
+        else:
+            vert_prior = jnp.asarray(np.linspace(1.0, 0.0, h, dtype=np.float32))[:, None]
         blue_dom = jnp.clip(bv - 0.6 * gv, 0.0, 1.0)
         sky_score = blur.gaussian_blur_uv(0.6 * vert_prior + 0.4 * blue_dom, 3.0)
         sky_score = jnp.clip(sky_score / (percentile(sky_score, 98.0) + 1e-8), 0.0, 1.0)
