@@ -37,6 +37,39 @@ class _CropView:
         return a.astype(dtype) if dtype is not None else a
 
 
+def _max_pixels() -> int | None:
+    """Optional pixel budget (ANIMAL_VISION_MAX_PIXELS): frames above it
+    take the degradation ladder up front instead of risking a device OOM."""
+    import os
+
+    v = os.environ.get("ANIMAL_VISION_MAX_PIXELS")
+    return int(v) if v else None
+
+
+def _is_oom(e: Exception) -> bool:
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "out of memory" in s
+
+
+def _host_resize(img: np.ndarray, h: int, w: int, interp: str) -> np.ndarray:
+    """cv2-exact host resize (INTER_AREA down / INTER_LINEAR up — the
+    reference ladder's pair, predict_torch.py:214,236); dtype preserved."""
+    try:
+        import cv2
+
+        flag = cv2.INTER_AREA if interp == "area" else cv2.INTER_LINEAR
+        out = cv2.resize(img, (w, h), interpolation=flag)
+        return out if out.ndim == 3 else out[..., None]
+    except ImportError:
+        from animal_vision_tpu.core import geometry
+
+        dev = geometry.resize(jnp.asarray(img, jnp.float32), (h, w), interp)
+        out = np.asarray(dev)
+        if img.dtype == np.uint8:
+            out = np.clip(out + 0.5, 0, 255).astype(np.uint8)
+        return out.astype(img.dtype, copy=False)
+
+
 class Animal(abc.ABC):
     """Base class for all species simulators."""
 
@@ -113,15 +146,61 @@ class Animal(abc.ABC):
         return prog
 
     def visualize(self, image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Simulate this species' vision. numpy in -> numpy out."""
+        """Simulate this species' vision. numpy in -> numpy out.
+
+        Frames over the HBM plan degrade gracefully instead of failing: on a
+        device OOM (or above ``ANIMAL_VISION_MAX_PIXELS``) the frame runs
+        the reference's resolution ladder — downscale to the largest rung
+        that fits, process, upscale the result
+        (predict_torch.py:199-242's capability under XLA's static planning)."""
         assert isinstance(image, np.ndarray), "Input must be a numpy ndarray."
         assert image.ndim == 3 and image.shape[2] == 3, "Input must be HxWx3 RGB."
+        budget = _max_pixels()
+        if budget and image.shape[0] * image.shape[1] > budget:
+            return self._visualize_degraded(image, budget)
+        try:
+            return self._visualize_exact(image)
+        except Exception as e:  # noqa: BLE001 — only OOMs are retried
+            if not _is_oom(e):
+                raise
+            return self._visualize_degraded(image, budget)
+
+    def _visualize_exact(self, image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         if self._bucket_plan(image.shape, image.dtype) is not None:
             (baseline, out), h, w = self._bucket_call(image, batched=False)
             return np.asarray(baseline)[:h, :w], np.asarray(out)[:h, :w]
         prog = self._program(image.shape, image.dtype, batched=False)
         baseline, out = prog(jnp.asarray(image))
         return np.asarray(baseline), np.asarray(out)
+
+    #: longest-side rungs of the degradation ladder (predict_torch.py:210).
+    DEGRADE_LADDER = (1024, 768, 512, 384, 256)
+
+    def _visualize_degraded(self, image: np.ndarray, budget: int | None):
+        h, w = int(image.shape[0]), int(image.shape[1])
+        for side in self.DEGRADE_LADDER:
+            if side >= max(h, w):
+                continue
+            scale = side / max(h, w)
+            sh = max(1, int(round(h * scale)))
+            sw = max(1, int(round(w * scale)))
+            if budget and sh * sw > budget:
+                continue
+            small = _host_resize(image, sh, sw, "area")
+            try:
+                base_s, out_s = self._visualize_exact(small)
+            except Exception as e:  # noqa: BLE001
+                if not _is_oom(e):
+                    raise
+                continue
+            return (
+                _host_resize(base_s, h, w, "linear"),
+                _host_resize(out_s, h, w, "linear"),
+            )
+        raise MemoryError(
+            f"frame {h}x{w} exceeds the HBM plan at every ladder rung "
+            f"{self.DEGRADE_LADDER}"
+        )
 
     def visualize_batch(self, images: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Batched variant over (N, H, W, 3) frames (one compiled program)."""
