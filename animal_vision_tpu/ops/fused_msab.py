@@ -69,8 +69,33 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
-def _gelu(x):
+def _gelu_erf(x):
     return 0.5 * x * (1.0 + _erf(x * (1.0 / np.sqrt(2.0))))
+
+
+# Degree-14 Chebyshev fit (power basis in v = x^2/18 - 1) of
+# (Phi(x) - 0.5)/x on |x| <= 6; gelu(x) = x * (0.5 + clip(x) * g(v)).
+# Clamping x to [-6, 6] before the poly makes the tails exact by
+# construction (0.5 + 6 g(1) = 1, 0.5 - 6 g(1) = 0). Max |gelu err|
+# 2.9e-6 in float32 Horner over [-8, 8] — cheaper than the A&S erf
+# (15 fma vs divide + exp, both slow multi-cycle VPU ops): the three
+# gelu sites were the largest single cost of pass B (5.2 of 13.0 ms
+# at L0 full-res by ablation, tools/exp_passb_ablate.py).
+_GELU_COEF = (
+    1.178485462e-01, -5.889994490e-02, 4.406174678e-02, -3.637347645e-02,
+    3.113039480e-02, -2.682388341e-02, 2.216114234e-02, -1.714407838e-02,
+    1.473061072e-02, -1.340006742e-02, 6.852439059e-03, -5.644091090e-04,
+    2.503544139e-03, -4.596844294e-03, 1.847676657e-03,
+)
+
+
+def _gelu(x):
+    xc = jnp.clip(x, -6.0, 6.0)
+    v = xc * xc * np.float32(1.0 / 18.0) - 1.0
+    g = jnp.full_like(v, _GELU_COEF[-1])
+    for coef in _GELU_COEF[-2::-1]:
+        g = g * v + coef
+    return x * (0.5 + xc * g)
 
 
 def _precision():
@@ -158,6 +183,26 @@ def _stats_kernel(x_ref, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, *, t, wq_n, pc, 
     sk_ref[...] += sk
 
 
+def _attn_stats_xla(xp, wq_p, wk_p):
+    """Stats pass as three XLA matmuls (no pallas): q/k projections, the
+    packed Gram, and the squared norms. The accumulating pallas kernel
+    reads x exactly once, but at the smaller pyramid levels its measured
+    cost (~3 ms at L1) is far above the HBM bound (~0.6 ms) — XLA's plain
+    reduction pipeline beats it there; fused_msab_block picks per level."""
+    h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
+    flat = xp.reshape(h * wq_n, pc)
+    q = _dot(flat, wq_p)
+    k = _dot(flat, wk_p)
+    g = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(),
+    )
+    sq = jnp.sum(q * q, axis=0).reshape(1, pc)
+    sk = jnp.sum(k * k, axis=0).reshape(1, pc)
+    return g, sq, sk
+
+
 def _attn_stats(xp, wq_p, wk_p, t):
     """xp (H, Wq, PC) packed -> packed (G (PC, PC), Sq (1, PC), Sk (1, PC))."""
     h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
@@ -214,7 +259,7 @@ def _attn_blockdiag(g_p, sq_p, sk_p, rescale, heads, c):
 
 
 def _apply_kernel(
-    x_ref, wv_ref, wa_ref, bp_ref, pk0_ref, pk2_ref, mavg_ref,
+    x_ref, m0_ref, wa_ref, bp_ref, m2_ref, mavg_ref,
     lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, o_ref, a_scr, b_scr,
     *, t, wq_n, c, p, h,
 ):
@@ -232,14 +277,30 @@ def _apply_kernel(
     b_scr[...] = a_scr[t - 3 :]
     a_scr[...] = cur
 
-    flat = win.reshape((t + 6) * wq_n, pc)
-    v3 = _dot(flat, wv_ref[...]).reshape(t + 6, wq_n, pc)
-    g1 = _gelu(_dw3(v3, pk0_ref[...], c, p))  # rows win[1:T+5]
+    # pos_emb on the MXU: both depthwise 3x3s run as neighbor-pack matmuls
+    # (the _conv3_mats contract) instead of VPU lane-rotation composites —
+    # m0 folds Wv . diag(pos_emb_0[dy,dx]) so the v = x Wv matmul vanishes
+    # into the first conv; m2 carries diag(pos_emb_2[dy,dx]). The pos path
+    # was 4.8 of 13.0 ms at L0 by ablation, nearly all VPU; the MXU is
+    # mostly idle here (dropping the attention matmul measured ~0 ms).
+    nbrw = _nbr(win)  # one shared neighbor-pack concat; bands are slices
+    g1in = None
+    for dy in range(3):
+        band = nbrw[dy : dy + t + 4]
+        piece = _dot(band.reshape((t + 4) * wq_n, 3 * pc), m0_ref[dy])
+        g1in = piece if g1in is None else g1in + piece
+    g1 = _gelu(g1in.reshape(t + 4, wq_n, pc))  # rows win[1:T+5]
     # zero-pad parity: the inner pos_emb conv has no output beyond the
     # image; the outer conv zero-pads there — mask rows outside [0, H).
     gig = ti * t - 2 + jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0)
     g1 = jnp.where((gig >= 0) & (gig < h), g1, 0.0)
-    pos = _dw3(g1, pk2_ref[...], c, p)  # rows win[2:T+4]
+    nbrg = _nbr(g1)
+    pos = None
+    for dy in range(3):
+        band = nbrg[dy : dy + t + 2]
+        piece = _dot(band.reshape((t + 2) * wq_n, 3 * pc), m2_ref[dy])
+        pos = piece if pos is None else pos + piece
+    pos = pos.reshape(t + 2, wq_n, pc)  # rows win[2:T+4]
 
     # attention-apply + proj folded: attnout = x @ (Wv @ blockdiag(attn) @ Wproj)
     flat_c = win[2 : t + 4].reshape((t + 2) * wq_n, pc)
@@ -295,7 +356,7 @@ def _apply_kernel(
     o_ref[...] = out.reshape(t, wq_n, pc) + res1[1 : t + 1]
 
 
-def _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
+def _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
     h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     n = -(-h // t)
     return pl.pallas_call(
@@ -303,11 +364,10 @@ def _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
         grid=(n + 1,),
         in_specs=[
             pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
-            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
-            pl.BlockSpec((9, pc), lambda i: (0, 0)),
-            pl.BlockSpec((9, pc), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
@@ -323,7 +383,19 @@ def _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4)
+    )(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4)
+
+
+def _pos_mats(wv, pk0, pk2, c: int, p: int):
+    """Fold the pos_emb branch (dw3 . gelu . dw3 applied to x Wv,
+    MST_Plus_Plus.py:135-141) into two stacks of neighbor-pack conv
+    matrices: m0[dy] applies Wv . diag(pos_emb_0[dy,dx]) and m2[dy]
+    applies diag(pos_emb_2[dy,dx]) under the _conv3_mats contract."""
+    pk0r = pk0.reshape(3, 3, c).astype(jnp.float32)
+    pk2r = pk2.reshape(3, 3, c).astype(jnp.float32)
+    w0_eff = wv.astype(jnp.float32)[None, None, :, :] * pk0r[:, :, None, :]
+    w2_eff = jnp.eye(c, dtype=jnp.float32)[None, None] * pk2r[:, :, None, :]
+    return _conv3_mats(w0_eff, c, p), _conv3_mats(w2_eff, c, p)
 
 
 def _ffn_planar_weights(ffn_w, c: int, p: int):
@@ -370,10 +442,9 @@ def fused_msab_block(x, attn_w, ln_w, ffn_w, *, heads):
     kron = lambda m: jnp.kron(eye, m.astype(jnp.float32))
     tile = lambda v, reps: jnp.tile(v.astype(jnp.float32).reshape(1, -1), (1, reps))
 
-    wq_p, wk_p, wv_p = kron(wq), kron(wk), kron(wv)
+    wq_p, wk_p = kron(wq), kron(wk)
     bp = tile(attn_w["proj_bias"], p)
-    pk0 = jnp.tile(attn_w["pos_emb_0"].reshape(9, c).astype(jnp.float32), (1, p))
-    pk2 = jnp.tile(attn_w["pos_emb_2"].reshape(9, c).astype(jnp.float32), (1, p))
+    m0, m2 = _pos_mats(wv, attn_w["pos_emb_0"], attn_w["pos_emb_2"], c, p)
     mavg = jnp.kron(eye, jnp.full((c, c), 1.0 / c, jnp.float32))
     lns = tile(ln_w[0], p)
     lnb = tile(ln_w[1], p)
@@ -393,7 +464,7 @@ def fused_msab_block(x, attn_w, ln_w, ffn_w, *, heads):
         g_p, sq_p, sk_p = _attn_stats(xp, wq_p, wk_p, t)
         abd = _attn_blockdiag(g_p, sq_p, sk_p, rescale, heads, c)
         wa_p = kron(wv @ abd @ wp)
-        res = _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p)
+        res = _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p)
         res = res.reshape(h, wp_w, c)[:, :w]
         outs.append(res)
     return jnp.stack(outs, axis=0)
@@ -468,9 +539,10 @@ def _conv3_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
     win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
     b_scr[...] = a_scr[t - 1 :]
     a_scr[...] = cur
+    nbrw = _nbr(win)
     out = None
     for dy in range(3):
-        band = _nbr(win[dy : dy + t])
+        band = nbrw[dy : dy + t]
         piece = _dot(band.reshape(t * wq_n, 3 * pc), m_ref[dy])
         out = piece if out is None else out + piece
     o_ref[...] = out.reshape(t, wq_n, pc)
@@ -552,10 +624,11 @@ def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p):
     kron = lambda m: jnp.kron(eye, m.astype(jnp.float32))
     tile = lambda v, reps: jnp.tile(v.astype(jnp.float32).reshape(1, -1), (1, reps))
 
-    wq_p, wk_p, wv_p = kron(attn_w["to_q"]), kron(attn_w["to_k"]), kron(attn_w["to_v"])
+    wq_p, wk_p = kron(attn_w["to_q"]), kron(attn_w["to_k"])
     bp = tile(attn_w["proj_bias"], p)
-    pk0 = jnp.tile(attn_w["pos_emb_0"].reshape(9, c).astype(jnp.float32), (1, p))
-    pk2 = jnp.tile(attn_w["pos_emb_2"].reshape(9, c).astype(jnp.float32), (1, p))
+    m0, m2 = _pos_mats(
+        attn_w["to_v"], attn_w["pos_emb_0"], attn_w["pos_emb_2"], c, p
+    )
     mavg = jnp.kron(eye, jnp.full((c, c), 1.0 / c, jnp.float32))
     lns = tile(ln_w[0], p)
     lnb = tile(ln_w[1], p)
@@ -565,7 +638,7 @@ def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p):
     g_p, sq_p, sk_p = _attn_stats(xp, wq_p, wk_p, t)
     abd = _attn_blockdiag(g_p, sq_p, sk_p, attn_w["rescale"], heads, c)
     wa_p = kron(attn_w["to_v"].astype(jnp.float32) @ abd @ attn_w["proj_kernel"].astype(jnp.float32))
-    return _apply(xp, wv_p, wa_p, bp, pk0, pk2, mavg, lns, lnb, w0, dwk, w4, t, c, p)
+    return _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p)
 
 
 def mst_stage_packed(xp, sw, dim: int = 31):
@@ -658,9 +731,10 @@ def _conv3_io_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pci, pco, h)
     win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
     b_scr[...] = a_scr[t - 1 :]
     a_scr[...] = cur
+    nbrw = _nbr(win)
     out = None
     for dy in range(3):
-        band = _nbr(win[dy : dy + t])
+        band = nbrw[dy : dy + t]
         piece = _dot(band.reshape(t * wq_n, 3 * pci), m_ref[dy])
         out = piece if out is None else out + piece
     o_ref[...] = out.reshape(t, wq_n, pco)
