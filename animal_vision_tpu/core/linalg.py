@@ -22,13 +22,17 @@ def split_bf16_host(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def einsum_3pass(subscripts: str, a: jnp.ndarray, b_hi, b_lo) -> jnp.ndarray:
     """einsum(a, b) with f32-level accuracy in 3 bf16 passes; ``b`` is given
-    pre-split (static weights)."""
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    pre-split (static weights). uint8/int inputs are bf16-EXACT (integers
+    <= 255), so their low half is identically zero and the third pass is
+    skipped — resampling uint8 frames costs 2 MXU passes, not 3."""
     bh = jnp.asarray(b_hi)
     bl = jnp.asarray(b_lo)
+    ah = a.astype(jnp.bfloat16)
     out = jnp.einsum(subscripts, ah, bh, preferred_element_type=jnp.float32)
     out = out + jnp.einsum(subscripts, ah, bl, preferred_element_type=jnp.float32)
+    if jnp.issubdtype(a.dtype, jnp.integer) and a.dtype.itemsize == 1:
+        return out  # 8-bit ints are exactly representable in bf16
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
     return out + jnp.einsum(subscripts, al, bh, preferred_element_type=jnp.float32)
 
 

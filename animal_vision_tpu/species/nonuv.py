@@ -333,7 +333,9 @@ class Cat(Animal):
 
         def fn(image):
             # Human branch: center zoom (crop + bilinear resize as matrices).
-            f = image.astype(jnp.float32)
+            # uint8 frames feed the first contraction directly (bf16-exact,
+            # einsum_3pass skips the zero low half -> one fewer MXU pass).
+            f = image if is_int else image.astype(jnp.float32)
             crop = f[y0 : y0 + ch, x0 : x0 + cw]
             zoomed = linalg.apply_w_matrix(linalg.apply_h_matrix(crop, zoom_rows), zoom_cols)
             if is_int:
@@ -344,14 +346,32 @@ class Cat(Animal):
             # Cat branch from the ORIGINAL frame. Per-eye banded matrices:
             # applying the combined matrix densely would contract the whole
             # gap between the eyes' source regions.
-            srgb01 = color.normalize_image(image)
-            if self.ENABLE_FOV_WARP:
+            if is_int and self.ENABLE_FOV_WARP:
+                # normalize_image's clip is a no-op for integer frames and
+                # its data-dependent 1/255 commutes past the linear warp:
+                # warp the raw uint8 (exact 2-pass matmuls, no f32
+                # normalize round-trip through HBM), scale after.
+                scale = jnp.where(
+                    jnp.max(image) > 1, jnp.float32(1.0 / 255.0), jnp.float32(1.0)
+                )
                 srgb01 = jnp.clip(
-                    linalg.apply_w_matrix(srgb01, warp_l)
-                    + linalg.apply_w_matrix(srgb01, warp_r),
+                    (
+                        linalg.apply_w_matrix(image, warp_l)
+                        + linalg.apply_w_matrix(image, warp_r)
+                    )
+                    * scale,
                     0.0,
                     1.0,
                 )
+            else:
+                srgb01 = color.normalize_image(image)
+                if self.ENABLE_FOV_WARP:
+                    srgb01 = jnp.clip(
+                        linalg.apply_w_matrix(srgb01, warp_l)
+                        + linalg.apply_w_matrix(srgb01, warp_r),
+                        0.0,
+                        1.0,
+                    )
 
             if np.dtype(dtype) == np.uint8:
                 from animal_vision_tpu.ops import fused_nonuv as _fused
