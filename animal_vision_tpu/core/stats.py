@@ -15,21 +15,31 @@ import jax.numpy as jnp
 EPS_DEFAULT = 1e-8
 
 
-def _kth_order_stat(u: jnp.ndarray, kidx: int) -> jnp.ndarray:
+def _kth_order_stat(u: jnp.ndarray, kidx) -> jnp.ndarray:
     """Exact k-th (0-indexed) order statistic of a total-order uint32 view
-    via 32-step bisection on the value bits — ~3.5x faster than a full sort
-    on TPU (counting reduces instead of O(N log N) sorting)."""
-
-    def body(_, s):
-        lo, hi = s
-        mid = lo + (hi - lo) // 2
-        cnt = jnp.sum((u <= mid).astype(jnp.int32))
-        left = cnt > kidx
-        return (jnp.where(left, lo, mid + 1), jnp.where(left, mid, hi))
-
-    lo, _ = jax.lax.fori_loop(
-        0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
-    )
+    via radix-16 selection: 8 histogram passes (4 value bits each) instead
+    of 32 one-threshold bisection passes. Each pass reads ``u`` once, bins
+    ``(u - lo) >> shift`` into 16 buckets as 16 fused compare-sums (values
+    outside the current window wrap to indices >= 16 and drop out), and
+    descends into the bucket containing the k-th. Percentile reductions are
+    the dominant HBM traffic of several UV species (mantis: 10-band stack),
+    so pass count is the metric that matters — this is 4x fewer."""
+    uf = u.ravel()
+    lo = jnp.uint32(0)
+    nb = jnp.int32(0)
+    # unrolled (a fori_loop measures ~25% slower: the while-loop carries
+    # defeat cross-pass pipelining; measured 7.54 -> 6.06 ms on a 21M-elem
+    # frame stack)
+    for i in range(8):
+        sh = jnp.uint32(28 - 4 * i)
+        idx = (uf - lo) >> sh
+        hist = jnp.stack(
+            [jnp.sum((idx == jnp.uint32(j)).astype(jnp.int32)) for j in range(16)]
+        )
+        cum = jnp.cumsum(hist)
+        j = jnp.sum((cum <= kidx - nb).astype(jnp.int32))
+        nb = nb + jnp.where(j > 0, cum[jnp.maximum(j - 1, 0)], 0)
+        lo = lo + (j.astype(jnp.uint32) << sh)
     return lo
 
 

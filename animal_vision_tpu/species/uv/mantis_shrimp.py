@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from animal_vision_tpu.core import blur, effects, gradients
-from animal_vision_tpu.core.stats import luminance709, percentile, safe_norm
+from animal_vision_tpu.core.stats import luminance709, percentile
 from animal_vision_tpu.species.uv.common import UVAnimal
 
 BANDS = (
@@ -78,19 +78,27 @@ class MantisShrimp(UVAnimal):
     def _render(self, baseline_lin, maps):
         h, w = int(baseline_lin.shape[0]), int(baseline_lin.shape[1])
         n = maps.shape[-1]
-        s = jnp.stack([safe_norm(maps[..., i]) for i in range(n)], axis=2)
+        # safe_norm over every band in ONE fused pass (2n reductions over
+        # the same (H, W, n) read) instead of n stacked two-pass calls —
+        # bitwise-identical per band, ~n fewer full-res reads.
+        mn = jnp.min(maps, axis=(0, 1))
+        rng = jnp.max(maps, axis=(0, 1)) - mn
+        s = jnp.where(
+            rng < 1e-9, 0.0, (maps - mn) / jnp.where(rng < 1e-9, 1.0, rng)
+        )
 
         lut = jnp.asarray(_hue_lut(n))
         s_norm = jnp.clip(s / (percentile(s, 95.0) + 1e-8), 0.0, 1.0)
         max_idx = jnp.argmax(s_norm, axis=2)
-        hard_rgb = jnp.einsum(
-            "hwn,nc->hwc", jax.nn.one_hot(max_idx, n, dtype=jnp.float32), lut,
-            precision="highest",
-        )
         weights = s_norm / (jnp.sum(s_norm, axis=2, keepdims=True) + 1e-8)
-        soft_rgb = jnp.einsum("hwn,nc->hwc", weights, lut, precision="highest")
+        # winner-take-most blend folded INTO the LUT contraction: by
+        # linearity (1-wtm)*(weights@lut) + wtm*(onehot@lut) is one einsum
+        # over the blended weights — halves the (H, W, n) matmul traffic.
         wtm = self.winner_take_most
-        barcode = (1.0 - wtm) * soft_rgb + wtm * hard_rgb
+        w_comb = (1.0 - wtm) * weights + wtm * jax.nn.one_hot(
+            max_idx, n, dtype=jnp.float32
+        )
+        barcode = jnp.einsum("hwn,nc->hwc", w_comb, lut, precision="highest")
         yb = luminance709(barcode)[..., None]
         barcode = jnp.clip(yb + (barcode - yb) * (1.0 + self.barcode_saturation), 0.0, 1.0)
 

@@ -87,3 +87,29 @@ def test_predict_tiled_small_frame():
     frame = np.random.default_rng(1).uniform(0, 1, (40, 50, 3)).astype(np.float32)
     out = predict_tiled(lambda t: t[..., :2] * 2.0, frame, tile=64, overlap=16, out_channels=2)
     np.testing.assert_allclose(out, frame[..., :2] * 2.0, atol=1e-5)
+
+
+def test_kth_order_stat_radix_exact():
+    """The TPU radix-16 k-th order statistic (core.stats._kth_order_stat)
+    is exact for duplicates, negatives, infs, and all k — the CPU test
+    suite otherwise never exercises this path (percentile() branches to
+    jnp.percentile on CPU)."""
+    from animal_vision_tpu.core import stats
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.standard_normal(4097).astype(np.float32),
+        np.repeat(rng.standard_normal(17).astype(np.float32), 241),
+        np.concatenate([
+            np.full(100, -np.inf, np.float32), np.zeros(50, np.float32),
+            np.full(77, np.inf, np.float32), rng.standard_normal(500).astype(np.float32),
+        ]),
+        np.array([0.0, -0.0, 1e-38, -1e-38, 3.4e38, -3.4e38], np.float32),
+    ]
+    for x in cases:
+        u = stats._f32_to_order(jnp.asarray(x))
+        srt = np.sort(x)
+        for k in [0, 1, len(x) // 3, len(x) - 2, len(x) - 1]:
+            got = float(stats._order_to_f32(stats._kth_order_stat(u, k)))
+            want = float(srt[k])
+            assert got == want or (np.isnan(got) and np.isnan(want)), (k, got, want)
