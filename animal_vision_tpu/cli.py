@@ -217,6 +217,13 @@ def cmd_gallery(args) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="main", description="animal-vision on TPU")
+    p.add_argument(
+        "--morpho-gate", type=float, default=None, metavar="RANGE",
+        help="orientation gate for the morpho butterfly: frames whose local "
+        "UV contrast is below RANGE (try 1e-2) render deterministically "
+        "instead of amplifying gradient noise; default keeps exact "
+        "reference behavior (sets ANIMAL_VISION_MORPHO_GATE)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     pi = sub.add_parser("image", help="transform one image")
@@ -252,6 +259,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.morpho_gate is not None:
+        import os
+
+        os.environ["ANIMAL_VISION_MORPHO_GATE"] = repr(args.morpho_gate)
     args.fn(args)
 
 

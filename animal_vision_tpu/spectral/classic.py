@@ -70,11 +70,24 @@ def check_uniform(wavelengths: np.ndarray) -> float:
 
 
 @functools.lru_cache(maxsize=None)
-def _mallett_table():
+def _mallett_table(source: str = "derived"):
     """(wavelengths_5nm, (3, 81) basis) from the checked-in precompute
-    (tools/make_mallett_basis.py; provenance in spectral/colorimetry.py)."""
+    (tools/make_mallett_basis.py; provenance in spectral/colorimetry.py).
+
+    ``source="published"`` loads colour-science's own tabulation from
+    ``data/mallett2019_published_5nm.npz`` (keys ``wl``, ``basis`` (N, 3))
+    when someone drops that file in — neither the package nor network
+    egress exists in the build environment, so the re-derived basis (every
+    Mallett 2019 defining constraint to <= 1e-7, PARITY.md) is the shipped
+    default. Raises FileNotFoundError until the table is vendored."""
     import os
 
+    if source == "published":
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "mallett2019_published_5nm.npz"
+        )
+        with np.load(path) as z:
+            return z["wl"].copy(), z["basis"].T.copy()
     path = os.path.join(os.path.dirname(__file__), "data", "mallett2019_basis_5nm.npz")
     with np.load(path) as z:
         return z["wavelengths"].copy(), z["basis"].copy()

@@ -255,3 +255,25 @@ def test_fuzzy_filter_and_menu(monkeypatch, capsys):
     feed = iter(["goat"])
     monkeypatch.setattr("builtins.input", lambda *a: next(feed))
     assert _menu("t", opts) == "goat"
+
+
+def test_cli_morpho_gate_flag(tmp_image, tmp_path, monkeypatch):
+    """--morpho-gate wires through env to the constructed Morpho instance
+    (VERDICT round-2 next #9): flat frames render deterministically."""
+    import animal_vision_tpu.species as sp
+    from animal_vision_tpu.cli import main
+
+    monkeypatch.delenv("ANIMAL_VISION_MORPHO_GATE", raising=False)
+    sp._CACHE.pop("morpho", None)
+    out = str(tmp_path / "morpho.png")
+    main(["--morpho-gate", "1e-2", "image", "--input", tmp_image,
+          "--output", out, "--animal", "morpho", "--no-show"])
+    assert os.path.exists(out)
+    assert sp._CACHE["morpho"].orientation_gate == pytest.approx(1e-2)
+    # a constant frame is bit-deterministic under the gate
+    flat = np.full((40, 64, 3), 128, np.uint8)
+    _, a = sp._CACHE["morpho"].visualize(flat)
+    _, b = sp._CACHE["morpho"].visualize(flat + 0)
+    assert np.array_equal(a, b)
+    sp._CACHE.pop("morpho", None)
+    monkeypatch.delenv("ANIMAL_VISION_MORPHO_GATE", raising=False)

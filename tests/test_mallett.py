@@ -130,3 +130,18 @@ def test_invalid_mode_raises():
 
     with pytest.raises(ValueError):
         classic_rgb_to_hsi(jnp.ones((1, 1, 3)), mode="nope")
+
+
+def test_published_table_exact():
+    """Activates when colour-science's own tabulation is vendored (see
+    PARITY.md "Mallett basis provenance" — unobtainable in the build env:
+    no package, no egress). Pins the re-derived basis to the published one."""
+    from animal_vision_tpu.spectral import classic
+
+    try:
+        wl_pub, basis_pub = classic._mallett_table(source="published")
+    except FileNotFoundError:
+        pytest.skip("published Mallett 2019 table not vendored (no egress)")
+    wl, basis = classic._mallett_table()
+    ours = np.stack([np.interp(wl_pub, wl, basis[i]) for i in range(3)])
+    assert np.abs(ours - basis_pub).max() < 1e-6
