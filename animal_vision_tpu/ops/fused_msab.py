@@ -530,7 +530,53 @@ def _nbr(band):
     return jnp.concatenate([left, band, right], axis=2)  # (rr, wq, 3PC)
 
 
-def _conv3_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
+def _accum_stats(out_valid, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, first):
+    """Accumulate the next MSAB's attention stats (Gram + squared norms)
+    over a producer kernel's masked output block. ``first`` is the first
+    grid step that carries a valid output block (stats refs are zeroed
+    there). Riding the stats in the producer removes the standalone pass-A
+    read of x per MSAB (~a full-frame HBM pass each)."""
+    i = pl.program_id(0)
+    pc = out_valid.shape[-1]
+    flat = out_valid.reshape(-1, pc)
+    q = _dot(flat, wq_ref[...])
+    k = _dot(flat, wk_ref[...])
+    g = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(),
+    )
+    sq = jnp.sum(q * q, axis=0).reshape(1, pc)
+    sk = jnp.sum(k * k, axis=0).reshape(1, pc)
+
+    @pl.when(i == first)
+    def _init():
+        g_ref[...] = jnp.zeros_like(g_ref)
+        sq_ref[...] = jnp.zeros_like(sq_ref)
+        sk_ref[...] = jnp.zeros_like(sk_ref)
+
+    @pl.when(i >= first)
+    def _add():
+        g_ref[...] += g
+        sq_ref[...] += sq
+        sk_ref[...] += sk
+
+
+def _stats_outs(pc):
+    specs = [
+        pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+        pl.BlockSpec((1, pc), lambda i: (0, 0)),
+        pl.BlockSpec((1, pc), lambda i: (0, 0)),
+    ]
+    shapes = [
+        jax.ShapeDtypeStruct((pc, pc), jnp.float32),
+        jax.ShapeDtypeStruct((1, pc), jnp.float32),
+        jax.ShapeDtypeStruct((1, pc), jnp.float32),
+    ]
+    return specs, shapes
+
+
+def _conv3_compute(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
     i = pl.program_id(0)
     cur = x_ref[...]
     ti = i - 1
@@ -546,33 +592,73 @@ def _conv3_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
         piece = _dot(band.reshape(t * wq_n, 3 * pc), m_ref[dy])
         out = piece if out is None else out + piece
     o_ref[...] = out.reshape(t, wq_n, pc)
+    return out
 
 
-def packed_conv3x3(xp, w, c: int, p: int, t: int = 16):
-    """Same-resolution 3x3 conv (zero pad, no bias) on a packed array."""
+def _conv3_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
+    _conv3_compute(x_ref, m_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h=h)
+
+
+def _conv3_stats_kernel(
+    x_ref, m_ref, wq_ref, wk_ref, o_ref, g_ref, sq_ref, sk_ref, a_scr, b_scr,
+    *, t, wq_n, pc, h,
+):
+    out = _conv3_compute(x_ref, m_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h=h)
+    ti = pl.program_id(0) - 1
+    go = ti * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
+    valid = jnp.where(go < h, out.reshape(t, wq_n, pc), 0.0)
+    _accum_stats(valid, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, first=1)
+
+
+def packed_conv3x3(xp, w, c: int, p: int, t: int = 16, stats_w=None):
+    """Same-resolution 3x3 conv (zero pad, no bias) on a packed array.
+
+    ``stats_w=(wq_p, wk_p)`` additionally returns the following MSAB's
+    attention stats of the OUTPUT: (out, g, sq, sk)."""
     h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     t = max(2, min(t, h))
     n = -(-h // t)
     mats = _conv3_mats(w, c, p)
+    in_specs = [
+        pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+        pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
+    ]
+    out_spec = pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0))
+    out_shape = jax.ShapeDtypeStruct((h, wq_n, pc), jnp.float32)
+    scratch = [
+        pltpu.VMEM((t, wq_n, pc), jnp.float32),
+        pltpu.VMEM((1, wq_n, pc), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    if stats_w is None:
+        return pl.pallas_call(
+            functools.partial(_conv3_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
+            grid=(n + 1,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(xp, mats)
+    sspecs, sshapes = _stats_outs(pc)
     return pl.pallas_call(
-        functools.partial(_conv3_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
+        functools.partial(_conv3_stats_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
         grid=(n + 1,),
-        in_specs=[
-            pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
-            pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
+        in_specs=in_specs
+        + [
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((h, wq_n, pc), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((t, wq_n, pc), jnp.float32),
-            pltpu.VMEM((1, wq_n, pc), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        out_specs=[out_spec] + sspecs,
+        out_shape=[out_shape] + sshapes,
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=_interpret(),
-    )(xp, mats)
+    )(xp, mats, stats_w[0], stats_w[1])
 
 
-def _down4_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
+def _down4_compute(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
     # out block of T rows consumes in rows [2*ti*T - 1, 2*ti*T + 2T + 2)
     i = pl.program_id(0)
     cur = x_ref[...]  # (2T, Wq, PC) input block i
@@ -590,41 +676,199 @@ def _down4_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
         piece = _dot(band.reshape(t * wq_n, 3 * pc), m_ref[dy])
         out = piece if out is None else out + piece
     o_ref[...] = out.reshape(t, wq_n, pc)
+    return out
 
 
-def packed_down4x4(xp, w, c: int, p: int, t: int = 8):
+def _down4_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
+    _down4_compute(x_ref, m_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h_in=h_in)
+
+
+def _down4_stats_kernel(
+    x_ref, m_ref, wq_ref, wk_ref, o_ref, g_ref, sq_ref, sk_ref, a_scr, b_scr,
+    *, t, wq_n, pc, h_in,
+):
+    out = _down4_compute(x_ref, m_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h_in=h_in)
+    ti = pl.program_id(0) - 1
+    go = ti * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
+    valid = jnp.where(go < h_in // 2, out.reshape(t, wq_n, pc), 0.0)
+    _accum_stats(valid, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, first=1)
+
+
+def packed_down4x4(xp, w, c: int, p: int, t: int = 8, stats_w=None):
     """Stride-2 4x4 conv (zero pad 1, no bias) C -> 2C: packed (H, Wq, PC)
-    -> packed (H/2, Wq, PC) with the output pack holding P/2 pixels x 2C."""
+    -> packed (H/2, Wq, PC) with the output pack holding P/2 pixels x 2C.
+    ``stats_w=(wq_p, wk_p)`` also returns (out, g, sq, sk) of the output."""
     h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     h_out = h // 2
     t = max(1, min(t, h_out))
     n = -(-h_out // t)
     mats = _down4_mats(w, c, p)
+    in_specs = [
+        pl.BlockSpec((2 * t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+        pl.BlockSpec((4, 3 * pc, pc), lambda i: (0, 0, 0)),
+    ]
+    out_spec = pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0))
+    out_shape = jax.ShapeDtypeStruct((h_out, wq_n, pc), jnp.float32)
+    scratch = [
+        pltpu.VMEM((2 * t, wq_n, pc), jnp.float32),
+        pltpu.VMEM((1, wq_n, pc), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    if stats_w is None:
+        return pl.pallas_call(
+            functools.partial(_down4_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
+            grid=(n + 1,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(xp, mats)
+    sspecs, sshapes = _stats_outs(pc)
     return pl.pallas_call(
-        functools.partial(_down4_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
+        functools.partial(_down4_stats_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
         grid=(n + 1,),
-        in_specs=[
-            pl.BlockSpec((2 * t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
-            pl.BlockSpec((4, 3 * pc, pc), lambda i: (0, 0, 0)),
+        in_specs=in_specs
+        + [
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((h_out, wq_n, pc), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2 * t, wq_n, pc), jnp.float32),
-            pltpu.VMEM((1, wq_n, pc), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        out_specs=[out_spec] + sspecs,
+        out_shape=[out_shape] + sshapes,
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=_interpret(),
-    )(xp, mats)
+    )(xp, mats, stats_w[0], stats_w[1])
 
 
-def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p):
-    """One MSAB block on an already-packed (H, Wq, P*C) array."""
+def _up_fuse_compute(
+    f_ref, s_ref, mf_ref, bf_ref, ms_ref, o_ref, *, t, wq_n, pc, h_in
+):
+    i = pl.program_id(0)
+    fea = f_ref[...]  # (t, wq, pc)
+    gi = i * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
+    fea = jnp.where(gi < h_in, fea, 0.0)
+    flat = fea.reshape(t * wq_n, pc)
+    rows = [
+        (_dot(flat, mf_ref[dy]) + bf_ref[dy]).reshape(t, 1, wq_n, pc)
+        for dy in range(2)
+    ]
+    up = jnp.concatenate(rows, axis=1).reshape(2 * t, wq_n, pc)
+    skip = s_ref[...]
+    gi2 = 2 * i * t + jax.lax.broadcasted_iota(jnp.int32, (2 * t, 1, 1), 0)
+    skip = jnp.where(gi2 < 2 * h_in, skip, 0.0)
+    out = up + _dot(skip.reshape(2 * t * wq_n, pc), ms_ref[...]).reshape(
+        2 * t, wq_n, pc
+    )
+    o_ref[...] = out
+    return jnp.where(gi2 < 2 * h_in, out, 0.0)
+
+
+def _up_fuse_kernel(f_ref, s_ref, mf_ref, bf_ref, ms_ref, o_ref, *, t, wq_n, pc, h_in):
+    _up_fuse_compute(f_ref, s_ref, mf_ref, bf_ref, ms_ref, o_ref, t=t, wq_n=wq_n, pc=pc, h_in=h_in)
+
+
+def _up_fuse_stats_kernel(
+    f_ref, s_ref, mf_ref, bf_ref, ms_ref, wq_ref, wk_ref,
+    o_ref, g_ref, sq_ref, sk_ref, *, t, wq_n, pc, h_in,
+):
+    valid = _up_fuse_compute(
+        f_ref, s_ref, mf_ref, bf_ref, ms_ref, o_ref, t=t, wq_n=wq_n, pc=pc, h_in=h_in
+    )
+    _accum_stats(valid, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, first=0)
+
+
+def packed_up_fuse(fea, skip, up_kernel, up_bias, fuse_kernel, c: int, p: int,
+                   t: int = 8, stats_w=None):
+    """Decoder level glue as ONE kernel: 1x1 up-conv to 4x channels,
+    depth-to-space (folded into the per-row-stream matmuls mf[dy]), and the
+    1x1 fuse over [upsampled | skip] (sum of two matmuls by linearity) —
+    replacing two XLA matmuls + an interleave relayout + two fuse matmuls
+    and their HBM round trips (MST_Plus_Plus.py:243-252). Packed (H, Wq,
+    PC) + skip (2H, Wq, PC) -> (2H, Wq, PC) at the next level's packing
+    (half channels x doubled pixels). ``stats_w`` rides the following
+    MSAB's pass-A stats on the output."""
+    h, wq_n, pc = int(fea.shape[0]), int(fea.shape[1]), int(fea.shape[2])
+    half = c // 2
+    p_out = 2 * p
+    wup = up_kernel.reshape(c, 4 * half).astype(jnp.float32)
+    bup = up_bias.astype(jnp.float32)  # (4*half,), (dy, dx, co) order
+    fk = fuse_kernel.astype(jnp.float32).reshape(2 * half, half)
+    eye_o = jnp.eye(p_out, dtype=jnp.float32)
+    m_f = jnp.kron(eye_o, fk[:half])
+    m_s = jnp.kron(eye_o, fk[half:])
+    mf_rows, bf_rows = [], []
+    for dy in range(2):
+        m = jnp.zeros((pc, p_out * half), jnp.float32)
+        b = jnp.zeros((p_out * half,), jnp.float32)
+        for pi in range(p):
+            for dx in range(2):
+                src = slice((dy * 2 + dx) * half, (dy * 2 + dx + 1) * half)
+                dst = slice((2 * pi + dx) * half, (2 * pi + dx + 1) * half)
+                m = m.at[pi * c : (pi + 1) * c, dst].set(wup[:, src])
+                b = b.at[dst].set(bup[src])
+        mf_rows.append(m @ m_f)
+        bf_rows.append(b @ m_f)
+    mf = jnp.stack(mf_rows)  # (2, PC, PC)
+    bf = jnp.stack(bf_rows).reshape(2, 1, pc)
+    t = max(1, min(t, h))
+    n = -(-h // t)
+    in_specs = [
+        pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+        pl.BlockSpec((2 * t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+        pl.BlockSpec((2, pc, pc), lambda i: (0, 0, 0)),
+        pl.BlockSpec((2, 1, pc), lambda i: (0, 0, 0)),
+        pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+    ]
+    out_spec = pl.BlockSpec((2 * t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0))  # noqa: B023
+    out_shape = jax.ShapeDtypeStruct((2 * h, wq_n, pc), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    if stats_w is None:
+        return pl.pallas_call(
+            functools.partial(_up_fuse_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
+            grid=(n,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(fea, skip, mf, bf, m_s)
+    sspecs, sshapes = _stats_outs(pc)
+    return pl.pallas_call(
+        functools.partial(_up_fuse_stats_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
+        grid=(n,),
+        in_specs=in_specs
+        + [
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+        ],
+        out_specs=[out_spec] + sspecs,
+        out_shape=[out_shape] + sshapes,
+        compiler_params=params,
+        interpret=_interpret(),
+    )(fea, skip, mf, bf, m_s, stats_w[0], stats_w[1])
+
+
+def attn_stats_weights(attn_w, c: int, p: int):
+    """Packed (wq_p, wk_p) for riding a block's pass-A stats in a producer
+    kernel (packed_conv3x3 / packed_down4x4 / packed_up_fuse stats_w=...)."""
+    eye = jnp.eye(p, dtype=jnp.float32)
+    return (
+        jnp.kron(eye, attn_w["to_q"].astype(jnp.float32)),
+        jnp.kron(eye, attn_w["to_k"].astype(jnp.float32)),
+    )
+
+
+def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p, stats=None):
+    """One MSAB block on an already-packed (H, Wq, P*C) array.
+
+    ``stats=(g, sq, sk)`` skips the pass-A kernel: the producer of ``xp``
+    already accumulated the attention stats (attn_stats_weights)."""
     eye = jnp.eye(p, dtype=jnp.float32)
     kron = lambda m: jnp.kron(eye, m.astype(jnp.float32))
     tile = lambda v, reps: jnp.tile(v.astype(jnp.float32).reshape(1, -1), (1, reps))
 
-    wq_p, wk_p = kron(attn_w["to_q"]), kron(attn_w["to_k"])
     bp = tile(attn_w["proj_bias"], p)
     m0, m2 = _pos_mats(
         attn_w["to_v"], attn_w["pos_emb_0"], attn_w["pos_emb_2"], c, p
@@ -635,7 +879,11 @@ def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p):
     w0, dwk, w4 = _ffn_planar_weights(ffn_w, c, p)
 
     t = _pick_t(int(xp.shape[0]), c)
-    g_p, sq_p, sk_p = _attn_stats(xp, wq_p, wk_p, t)
+    if stats is None:
+        wq_p, wk_p = attn_stats_weights(attn_w, c, p)
+        g_p, sq_p, sk_p = _attn_stats(xp, wq_p, wk_p, t)
+    else:
+        g_p, sq_p, sk_p = stats
     abd = _attn_blockdiag(g_p, sq_p, sk_p, attn_w["rescale"], heads, c)
     wa_p = kron(attn_w["to_v"].astype(jnp.float32) @ abd @ attn_w["proj_kernel"].astype(jnp.float32))
     return _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p)
@@ -644,62 +892,67 @@ def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p):
 def mst_stage_packed(xp, sw, dim: int = 31):
     """One MST stage (MST_Plus_Plus.py:188-268) entirely on packed arrays:
     embedding conv -> encoder (MSAB + stride-2 down) x2 -> bottleneck MSAB
-    -> decoder (1x1 up + depth-to-space + 1x1 fuse + MSAB) x2 -> mapping
-    conv -> + input. ``sw`` is MST.weights_only()'s dict; xp (H, Wq, P*31)."""
+    -> decoder (fused up+depth-to-space+fuse kernel + MSAB) x2 -> mapping
+    conv -> + input. ``sw`` is MST.weights_only()'s dict; xp (H, Wq, P*31).
+
+    Every producer kernel (embedding conv, downsamples, up+fuse) rides the
+    FOLLOWING MSAB's pass-A attention stats on its own grid walk, so no
+    standalone stats kernel re-reads the frame; only 2nd+ MSABs of a
+    multi-block level (MST variants) fall back to the stats kernel."""
     c0 = dim
     p0 = _pack_of(c0)
-    fea = packed_conv3x3(xp, sw["embedding"], c0, p0)
+
+    def _first_stats(blocks, c, p):
+        return attn_stats_weights(blocks[0]["attn"], c, p) if blocks else None
+
+    def _run_msabs(fea, blocks, c, p, stats):
+        for bi, blk in enumerate(blocks):
+            fea = msab_packed(fea, blk["attn"], blk["ln"], blk["ffn"],
+                              heads=c // dim, c=c, p=p,
+                              stats=stats if bi == 0 else None)
+        return fea
+
+    c, p = c0, p0
+    res = packed_conv3x3(
+        xp, sw["embedding"], c0, p0,
+        stats_w=_first_stats(sw["enc"][0]["msab"], c, p),
+    )
+    if isinstance(res, (tuple, list)):
+        fea, *st = res
+    else:
+        fea, st = res, []
 
     skips = []
-    c, p = c0, p0
-    for enc in sw["enc"]:
-        for blk in enc["msab"]:
-            fea = msab_packed(fea, blk["attn"], blk["ln"], blk["ffn"],
-                              heads=c // dim, c=c, p=p)
+    for li, enc in enumerate(sw["enc"]):
+        fea = _run_msabs(fea, enc["msab"], c, p, tuple(st) if st else None)
         skips.append((fea, c, p))
-        fea = packed_down4x4(fea, enc["down"], c, p)
-        c, p = c * 2, p // 2
+        nxt_blocks = (
+            sw["enc"][li + 1]["msab"] if li + 1 < len(sw["enc"])
+            else sw["bottleneck"]["msab"]
+        )
+        nc, npp = c * 2, p // 2
+        res = packed_down4x4(fea, enc["down"], c, p,
+                             stats_w=_first_stats(nxt_blocks, nc, npp))
+        if isinstance(res, (tuple, list)):
+            fea, *st = res
+        else:
+            fea, st = res, []
+        c, p = nc, npp
 
-    for blk in sw["bottleneck"]["msab"]:
-        fea = msab_packed(fea, blk["attn"], blk["ln"], blk["ffn"],
-                          heads=c // dim, c=c, p=p)
+    fea = _run_msabs(fea, sw["bottleneck"]["msab"], c, p, tuple(st) if st else None)
 
     for dec, (skip, cs, ps) in zip(sw["dec"], reversed(skips)):
         half = c // 2
-        h2, wq_n, pc = int(fea.shape[0]), int(fea.shape[1]), int(fea.shape[2])
-        # dec_up: 1x1 conv to 4x channels + depth-to-space. Per output row
-        # stream dy, fold the depth-to-space lane reorder into the matmul:
-        # out pack lane (2*pi+dx)*half+co <- in pixel pi, column
-        # (dy*2+dx)*half+co of the stored (in, 4*half) kernel. Output pack
-        # = 2*p_in pixels x half channels = the next level's packing.
-        wup = dec["up_kernel"].reshape(c, 4 * half).astype(jnp.float32)
-        bup = dec["up_bias"].astype(jnp.float32)  # (4*half,), (dy,dx,co) order
-        p_out = 2 * p
-        rows = []
-        for dy in range(2):
-            m = jnp.zeros((pc, p_out * half), jnp.float32)
-            b = jnp.zeros((p_out * half,), jnp.float32)
-            for pi in range(p):
-                for dx in range(2):
-                    src = slice((dy * 2 + dx) * half, (dy * 2 + dx + 1) * half)
-                    dst = slice((2 * pi + dx) * half, (2 * pi + dx + 1) * half)
-                    m = m.at[pi * c : (pi + 1) * c, dst].set(wup[:, src])
-                    b = b.at[dst].set(bup[src])
-            rows.append(_dot(fea.reshape(h2 * wq_n, pc), m).reshape(h2, wq_n, -1) + b)
-        fea = jnp.stack(rows, axis=1).reshape(h2 * 2, wq_n, p_out * half)
-        # dec_fuse: 1x1 conv on concat(fea, skip) == sum of two matmuls
-        fk = dec["fuse_kernel"].astype(jnp.float32).reshape(2 * half, half)
-        eye_s = jnp.eye(p_out, dtype=jnp.float32)
-        m_f = jnp.kron(eye_s, fk[:half])
-        m_s = jnp.kron(eye_s, fk[half:])
-        n2 = int(fea.shape[0]) * wq_n
-        fea = (
-            _dot(fea.reshape(n2, -1), m_f) + _dot(skip.reshape(n2, -1), m_s)
-        ).reshape(int(fea.shape[0]), wq_n, p_out * half)
-        c, p = half, p_out
-        for blk in dec["msab"]:
-            fea = msab_packed(fea, blk["attn"], blk["ln"], blk["ffn"],
-                              heads=c // dim, c=c, p=p)
+        res = packed_up_fuse(
+            fea, skip, dec["up_kernel"], dec["up_bias"], dec["fuse_kernel"],
+            c, p, stats_w=_first_stats(dec["msab"], cs, ps),
+        )
+        if isinstance(res, (tuple, list)):
+            fea, *st = res
+        else:
+            fea, st = res, []
+        c, p = half, 2 * p
+        fea = _run_msabs(fea, dec["msab"], c, p, tuple(st) if st else None)
 
     out = packed_conv3x3(fea, sw["mapping"], c0, p0)
     return out + xp

@@ -1,6 +1,6 @@
-"""Ablate pass B's components at L0 full-res to find the real cost:
-variants drop gelu / dw3 / pos_emb / LN / matmuls one at a time.
-Each variant is a private copy of _apply_kernel with pieces disabled."""
+"""Ablate the CURRENT pass-B kernel (poly gelu + MXU pos path + planar
+FFN) at L0 full-res: drop each component to see its marginal cost. The
+variants are private copies of _apply_kernel with pieces disabled."""
 import functools
 import time
 
@@ -29,15 +29,16 @@ def timeit(fn, *args, iters=20):
     return best
 
 
-def make_kernel(*, gelu_on, dw3_on, pos_on, ln_on, ffn_mm_on, attn_on):
+def make_kernel(*, gelu_mode, pos_on, dw3_on, ln_on, ffn_mm_on, attn_on):
+    gelu = {"poly": F._gelu, "erf": F._gelu_erf, "off": lambda v: v}[gelu_mode]
+
     def kern(
-        x_ref, wv_ref, wa_ref, bp_ref, pk0_ref, pk2_ref, mavg_ref,
+        x_ref, m0_ref, wa_ref, bp_ref, m2_ref, mavg_ref,
         lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, o_ref, a_scr, b_scr,
         *, t, wq_n, c, p, h,
     ):
         pc = p * c
         c4 = 4 * c
-        gelu = F._gelu if gelu_on else (lambda v: v)
         i = pl.program_id(0)
         cur = x_ref[...]
         ti = i - 1
@@ -48,12 +49,22 @@ def make_kernel(*, gelu_on, dw3_on, pos_on, ln_on, ffn_mm_on, attn_on):
         a_scr[...] = cur
 
         if pos_on:
-            flat = win.reshape((t + 6) * wq_n, pc)
-            v3 = F._dot(flat, wv_ref[...]).reshape(t + 6, wq_n, pc)
-            g1 = gelu(F._dw3(v3, pk0_ref[...], c, p))
+            nbrw = F._nbr(win)
+            g1in = None
+            for dy in range(3):
+                band = nbrw[dy : dy + t + 4]
+                piece = F._dot(band.reshape((t + 4) * wq_n, 3 * pc), m0_ref[dy])
+                g1in = piece if g1in is None else g1in + piece
+            g1 = gelu(g1in.reshape(t + 4, wq_n, pc))
             gig = ti * t - 2 + jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0)
             g1 = jnp.where((gig >= 0) & (gig < h), g1, 0.0)
-            pos = F._dw3(g1, pk2_ref[...], c, p)
+            nbrg = F._nbr(g1)
+            pos = None
+            for dy in range(3):
+                band = nbrg[dy : dy + t + 2]
+                piece = F._dot(band.reshape((t + 2) * wq_n, 3 * pc), m2_ref[dy])
+                pos = piece if pos is None else pos + piece
+            pos = pos.reshape(t + 2, wq_n, pc)
         else:
             pos = 0.0
 
@@ -80,7 +91,7 @@ def make_kernel(*, gelu_on, dw3_on, pos_on, ln_on, ffn_mm_on, attn_on):
             if ffn_mm_on:
                 hp = gelu(F._dot(y, w0_ref[po])).reshape(t + 2, wq_n, c4)
             else:
-                hp = gelu(y[:, : c4].reshape(-1, wq_n, c4)[: t + 2])
+                hp = gelu(y[:, :c4].reshape(-1, wq_n, c4)[: t + 2])
             hs.append(jnp.where(hmask, hp, 0.0))
 
         def shl(a):
@@ -106,10 +117,7 @@ def make_kernel(*, gelu_on, dw3_on, pos_on, ln_on, ffn_mm_on, attn_on):
             else:
                 acc = hs[po][1 : t + 1]
             h2 = gelu(acc)
-            if ffn_mm_on:
-                piece = F._dot(h2.reshape(t * wq_n, c4), w4_ref[po])
-            else:
-                piece = jnp.pad(h2.reshape(t * wq_n, c4), ((0, 0), (0, pc - c4)))[:, :pc]
+            piece = F._dot(h2.reshape(t * wq_n, c4), w4_ref[po])
             out = piece if out is None else out + piece
         o_ref[...] = out.reshape(t, wq_n, pc) + res1[1 : t + 1]
 
@@ -125,11 +133,10 @@ def run_variant(name, xp, ops, t, c, p, **flags):
         grid=(n + 1,),
         in_specs=[
             pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),
-            pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
-            pl.BlockSpec((9, pc), lambda i: (0, 0)),
-            pl.BlockSpec((9, pc), lambda i: (0, 0)),
+            pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
@@ -159,22 +166,25 @@ def main():
     pc, c4 = p * c, 4 * c
     xp = mk(H, W // p, pc, scale=0.3)
     ops = (
-        mk(pc, pc), mk(pc, pc), mk(1, pc), mk(9, pc), mk(9, pc), mk(pc, pc),
+        mk(3, 3 * pc, pc), mk(pc, pc), mk(1, pc), mk(3, 3 * pc, pc), mk(pc, pc),
         jnp.ones((1, pc)), jnp.zeros((1, pc)),
         mk(p, pc, c4), mk(9, c4), mk(p, c4, pc),
     )
     t = F._pick_t(H, c)
-    base = dict(gelu_on=True, dw3_on=True, pos_on=True, ln_on=True, ffn_mm_on=True, attn_on=True)
-    run_variant("full", xp, ops, t, c, p, **base)
-    run_variant("no_gelu", xp, ops, t, c, p, **{**base, "gelu_on": False})
-    run_variant("no_dw3", xp, ops, t, c, p, **{**base, "dw3_on": False})
+    base = dict(gelu_mode="poly", pos_on=True, dw3_on=True, ln_on=True,
+                ffn_mm_on=True, attn_on=True)
+    run_variant("full(poly)", xp, ops, t, c, p, **base)
+    run_variant("erf_gelu", xp, ops, t, c, p, **{**base, "gelu_mode": "erf"})
+    run_variant("no_gelu", xp, ops, t, c, p, **{**base, "gelu_mode": "off"})
     run_variant("no_pos", xp, ops, t, c, p, **{**base, "pos_on": False})
+    run_variant("no_dw3", xp, ops, t, c, p, **{**base, "dw3_on": False})
     run_variant("no_ln", xp, ops, t, c, p, **{**base, "ln_on": False})
     run_variant("no_ffn_mm", xp, ops, t, c, p, **{**base, "ffn_mm_on": False})
     run_variant("no_attn_mm", xp, ops, t, c, p, **{**base, "attn_on": False})
     run_variant(
         "copy_only", xp, ops, t, c, p,
-        gelu_on=False, dw3_on=False, pos_on=False, ln_on=False, ffn_mm_on=False, attn_on=False,
+        gelu_mode="off", pos_on=False, dw3_on=False, ln_on=False,
+        ffn_mm_on=False, attn_on=False,
     )
 
 
