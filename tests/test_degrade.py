@@ -40,7 +40,7 @@ def test_pixel_budget_takes_ladder(monkeypatch):
     assert psnr > 20.0, psnr
 
 
-def test_oom_exception_takes_ladder():
+def test_oom_exception_takes_ladder(monkeypatch):
     """A RESOURCE_EXHAUSTED from the exact path falls down the ladder."""
     animal = get_animal("horse")
     orig = animal._visualize_exact
@@ -50,7 +50,9 @@ def test_oom_exception_takes_ladder():
             raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory in HBM")
         return orig(image)
 
-    animal._visualize_exact = flaky
+    # setattr via monkeypatch: the registry animal is a shared singleton,
+    # so the patch must not leak into later tests.
+    monkeypatch.setattr(animal, "_visualize_exact", flaky)
     img = _img(900, 1700, seed=5)
     base, out = animal.visualize(img)
     assert out.shape == img.shape and out.dtype == np.uint8
@@ -64,12 +66,12 @@ def test_exhausted_ladder_raises(monkeypatch):
         animal.visualize(_img(2000, 3000))
 
 
-def test_non_oom_errors_propagate():
+def test_non_oom_errors_propagate(monkeypatch):
     animal = get_animal("dog")
 
     def broken(image):
         raise ValueError("not an oom")
 
-    animal._visualize_exact = broken
+    monkeypatch.setattr(animal, "_visualize_exact", broken)
     with pytest.raises(ValueError):
         animal.visualize(_img(64, 96))
