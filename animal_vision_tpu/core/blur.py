@@ -68,6 +68,31 @@ def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
     return k.astype(np.float32)
 
 
+def blur_profile_1d(profile: np.ndarray, sigma: float) -> np.ndarray:
+    """Trace-time 1-D UV-convention blur (k=2*ceil(3*sigma)+1, reflect-101)
+    of a per-row profile, in NumPy.
+
+    Used for the scanline row gains (mantis_shrimp.py:252-265,
+    jumping_spider scanlines): the reference Gaussian-blurs an (H, W)
+    row-constant image, but the x pass of a separable blur over constant
+    rows is the identity (the kernel sums to 1) and the y pass is this 1-D
+    convolution of the profile — so the whole (H, W) runtime blur folds to
+    an (H,) constant computed at trace time. Sub-ulp equal to the 2-D path
+    (the only deviation is the f32 kernel sum's ~2^-24 off-unity)."""
+    if sigma <= 0:
+        return profile.astype(np.float32)
+    k = uv_ksize(sigma)
+    kern = gaussian_kernel_1d(k, sigma).astype(np.float32)
+    r = k // 2
+    n = profile.shape[0]
+    idx = reflect101_index(np.arange(-r, n + r), n)
+    padded = profile.astype(np.float32)[idx]
+    out = np.zeros(n, dtype=np.float32)
+    for t in range(k):
+        out += kern[t] * padded[t : t + n]
+    return out
+
+
 def reflect101_index(p: np.ndarray | int, n: int) -> np.ndarray | int:
     """Map (possibly out-of-range) coordinates onto [0, n) with
     BORDER_REFLECT_101 semantics (``gfedcb|abcdefgh|gfedcba``), supporting

@@ -17,24 +17,43 @@ EPS_DEFAULT = 1e-8
 
 def _kth_order_stat(u: jnp.ndarray, kidx) -> jnp.ndarray:
     """Exact k-th (0-indexed) order statistic of a total-order uint32 view
-    via radix-16 selection: 8 histogram passes (4 value bits each) instead
-    of 32 one-threshold bisection passes. Each pass reads ``u`` once, bins
-    ``(u - lo) >> shift`` into 16 buckets as 16 fused compare-sums (values
-    outside the current window wrap to indices >= 16 and drop out), and
-    descends into the bucket containing the k-th. Percentile reductions are
-    the dominant HBM traffic of several UV species (mantis: 10-band stack),
-    so pass count is the metric that matters — this is 4x fewer."""
+    via radix-4 selection with PACKED per-pass counters: 16 passes of 2
+    value bits each. A pass bins ``(u - lo) >> shift`` into 4 buckets
+    (values outside the current window wrap to indices >= 4 and drop out),
+    but instead of 4 full compare-sum reductions it packs the four bucket
+    contributions into 8-bit fields of ONE uint32 (``1 << 8*idx``) and runs
+    a single fused sum over the 128-row axis (field max 128 < 256, no
+    overflow), then unpacks four short per-lane-group sums. That takes a
+    pass from ~34 vector ops/element (16 compare+count chains as separate
+    XLA reductions) to ~8 in one fused reduce — the selection was measured
+    VPU-compute-bound at 6.1 ms for a 21M-element band stack (mantis), so
+    op count per element is the metric that matters. Exactness is
+    untouched: the histogram is identical.
+
+    Padding: ``u`` is padded to a multiple of 128 with 0xFFFFFFFF keys
+    (the NaN key — above every finite value's key), which sort strictly
+    after all real elements, so any rank < n_real is unaffected."""
     uf = u.ravel()
+    pad = (-uf.size) % 128
+    if pad:
+        uf = jnp.concatenate([uf, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
+    g = uf.reshape(128, -1)  # sum over axis 0 = sublane direction (fast)
     lo = jnp.uint32(0)
     nb = jnp.int32(0)
     # unrolled (a fori_loop measures ~25% slower: the while-loop carries
-    # defeat cross-pass pipelining; measured 7.54 -> 6.06 ms on a 21M-elem
-    # frame stack)
-    for i in range(8):
-        sh = jnp.uint32(28 - 4 * i)
-        idx = (uf - lo) >> sh
+    # defeat cross-pass pipelining)
+    for i in range(16):
+        sh = jnp.uint32(30 - 2 * i)
+        idx = (g - lo) >> sh
+        contrib = jnp.where(
+            idx < 4, jnp.uint32(1) << ((idx & 3) << 3), jnp.uint32(0)
+        )
+        packed = jnp.sum(contrib, axis=0, dtype=jnp.uint32)  # fields <= 128
         hist = jnp.stack(
-            [jnp.sum((idx == jnp.uint32(j)).astype(jnp.int32)) for j in range(16)]
+            [
+                jnp.sum(((packed >> (8 * j)) & 0xFF).astype(jnp.int32))
+                for j in range(4)
+            ]
         )
         cum = jnp.cumsum(hist)
         j = jnp.sum((cum <= kidx - nb).astype(jnp.int32))

@@ -97,13 +97,14 @@ class JumpingSpider(UVAnimal):
             1.0,
         )
 
-        # scanlines
-        y = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
-        rows = (0.5 + 0.5 * np.sin(2.0 * np.pi * self.scan_row_freq * y)) * np.ones(
-            (1, w), np.float32
+        # scanlines: row-constant blur folds to a trace-time 1-D profile
+        # (core.blur.blur_profile_1d) — no runtime full-res blur.
+        y = np.linspace(0.0, 1.0, h, dtype=np.float32)
+        prof = (0.5 + 0.5 * np.sin(2.0 * np.pi * self.scan_row_freq * y)).astype(
+            np.float32
         )
-        rows_j = blur.gaussian_blur_uv(jnp.asarray(rows), self.scan_soften)
-        render = jnp.clip(render * (1.0 + self.scan_row_gain * (rows_j - 0.5))[..., None], 0.0, 1.0)
+        rows_j = blur.blur_profile_1d(prof, self.scan_soften)[:, None]
+        render = jnp.clip(render * jnp.asarray(1.0 + self.scan_row_gain * (rows_j - 0.5))[..., None], 0.0, 1.0)
 
         # attention spots
         spots = jnp.asarray(self._spots_mask(h, w))[..., None]

@@ -136,14 +136,15 @@ class MantisShrimp(UVAnimal):
             (1.0 - self.barcode_opacity) * render + self.barcode_opacity * barcode, 0.0, 1.0
         )
 
-        # midband scanlines
-        y = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
-        rows = (0.5 + 0.5 * np.sin(2.0 * np.pi * self.scan_row_freq * y)) * np.ones(
-            (1, w), np.float32
+        # midband scanlines: the (H, W) row-constant blur folds to a 1-D
+        # trace-time profile (blur_profile_1d) — no runtime full-res blur.
+        y = np.linspace(0.0, 1.0, h, dtype=np.float32)
+        prof = (0.5 + 0.5 * np.sin(2.0 * np.pi * self.scan_row_freq * y)).astype(
+            np.float32
         )
-        rows_j = blur.gaussian_blur_uv(jnp.asarray(rows), self.scan_soften)
+        rows_j = blur.blur_profile_1d(prof, self.scan_soften)[:, None]
         row_gain = 1.0 + self.scan_row_gain * (rows_j - 0.5)
-        render = jnp.clip(render * row_gain[..., None], 0.0, 1.0)
+        render = jnp.clip(render * jnp.asarray(row_gain)[..., None], 0.0, 1.0)
 
         return effects.peripheral_blur(
             render, self.periph_blur_sigma, self.periph_radius, self.periph_softness
