@@ -93,9 +93,14 @@ def _run_phase(label: str, snippet: str, est_s: float, extra: dict) -> dict | No
     """Run a measurement phase in a fresh interpreter, deadline-gated.
 
     Returns the parsed JSON (last stdout line) or None if skipped/failed.
-    Retries once on nonzero exit (transient tunnel FailedPrecondition /
-    HTTP 500 compile errors happen). stderr is inherited so phase progress
-    lands in the driver's log tail.
+    Retries once on nonzero exit OR timeout (transient tunnel
+    FailedPrecondition / HTTP 500 compile errors happen, and the axon
+    tunnel has been observed to HANG outright for many minutes — seen
+    2026-08-17: even jax.devices() blocked, stalling a phase with zero
+    CPU). Attempt 1 is therefore capped near its own estimate instead of
+    the whole remaining budget, so a hung tunnel cannot eat every later
+    phase; attempt 2 gets whatever budget is left. stderr is inherited so
+    phase progress lands in the driver's log tail.
     """
     for attempt in (1, 2):
         left = remaining()
@@ -104,13 +109,14 @@ def _run_phase(label: str, snippet: str, est_s: float, extra: dict) -> dict | No
             extra[f"skipped_{label}"] = f"budget ({left:.0f}s left)"
             _write_extra(extra)
             return None
-        log(f"[bench] {label} (attempt {attempt}, {left:.0f}s left)")
+        cap = left - 15.0 if attempt == 2 else min(left - 15.0, max(3.5 * est_s, 300.0))
+        log(f"[bench] {label} (attempt {attempt}, {left:.0f}s left, cap {cap:.0f}s)")
         try:
             r = subprocess.run(
                 [sys.executable, "-c", _PRELUDE + snippet],
                 stdout=subprocess.PIPE,
                 text=True,
-                timeout=max(30.0, left - 15.0),
+                timeout=max(30.0, cap),
             )
             if r.returncode == 0:
                 out = json.loads(r.stdout.strip().splitlines()[-1])
@@ -119,10 +125,11 @@ def _run_phase(label: str, snippet: str, est_s: float, extra: dict) -> dict | No
                 return out
             log(f"[bench] {label} rc={r.returncode}")
         except subprocess.TimeoutExpired:
-            log(f"[bench] {label} timed out")
-            extra[f"skipped_{label}"] = "timeout"
-            _write_extra(extra)
-            return None
+            log(f"[bench] {label} timed out (attempt {attempt})")
+            if attempt == 2:
+                extra[f"skipped_{label}"] = "timeout"
+                _write_extra(extra)
+                return None
         except Exception as e:
             log(f"[bench] {label} failed: {type(e).__name__}: {e}")
     extra[f"skipped_{label}"] = "failed twice"
