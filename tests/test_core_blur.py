@@ -91,3 +91,18 @@ def test_reflect101_index():
     #         -4 -3 -2 -1  0  1  2  3  4  5  6
     want = [0, 1, 2, 1, 0, 1, 2, 1, 0, 1, 2]
     np.testing.assert_array_equal(idx, want)
+
+
+def test_blur_profile_1d_matches_2d_row_constant():
+    """blur_profile_1d == the full 2-D UV blur of a row-constant image
+    (the x pass over constant rows is the identity): the identity behind
+    the trace-time scanline fold in mantis/jumping_spider."""
+    rng = np.random.default_rng(11)
+    prof = rng.random(53).astype(np.float32)
+    img = np.tile(prof[:, None], (1, 37))
+    for sigma in (0.8, 0.9, 2.3):
+        got = blur.blur_profile_1d(prof, sigma)
+        want = np.asarray(blur.gaussian_blur_uv(jnp.asarray(img), sigma))
+        np.testing.assert_allclose(
+            np.tile(got[:, None], (1, 37)), want, atol=3e-7
+        )
