@@ -113,3 +113,30 @@ def test_kth_order_stat_radix_exact():
             got = float(stats._order_to_f32(stats._kth_order_stat(u, k)))
             want = float(srt[k])
             assert got == want or (np.isnan(got) and np.isnan(want)), (k, got, want)
+
+
+def test_percentile_tpu_branch_matches_numpy(monkeypatch):
+    """Drive percentile()'s TPU composition (radix select + duplicate-aware
+    interpolation) and _percentile_masked's TPU branch on CPU by patching
+    the backend probe — np.percentile is the oracle."""
+    from animal_vision_tpu.core import stats
+
+    monkeypatch.setattr(stats.jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((41, 67)).astype(np.float32)
+    dup = np.repeat(rng.standard_normal(37).astype(np.float32), 71).reshape(1, -1)
+    for arr, q in [(x, 95.0), (x, 99.0), (x, 50.0), (dup, 95.0), (dup, 98.0)]:
+        got = float(stats.percentile(jnp.asarray(arr), q))
+        want = float(np.percentile(arr, q))
+        assert abs(got - want) <= 2e-6 * max(1.0, abs(want)), (q, got, want)
+
+    # masked: exact percentile over the valid subset with a traced count
+    valid = np.zeros_like(x, dtype=bool)
+    valid[:29, :53] = True
+    got = float(
+        stats._percentile_masked(
+            jnp.asarray(x), jnp.asarray(valid), jnp.int32(int(valid.sum())), 95.0
+        )
+    )
+    want = float(np.percentile(x[valid], 95.0))
+    assert abs(got - want) <= 2e-6 * max(1.0, abs(want)), (got, want)
