@@ -17,18 +17,19 @@ EPS_DEFAULT = 1e-8
 
 def _kth_order_stat(u: jnp.ndarray, kidx) -> jnp.ndarray:
     """Exact k-th (0-indexed) order statistic of a total-order uint32 view
-    via radix-4 selection with PACKED per-pass counters: 16 passes of 2
-    value bits each. A pass bins ``(u - lo) >> shift`` into 4 buckets
-    (values outside the current window wrap to indices >= 4 and drop out),
-    but instead of 4 full compare-sum reductions it packs the four bucket
-    contributions into 8-bit fields of ONE uint32 (``1 << 8*idx``) and runs
-    a single fused sum over the 128-row axis (field max 128 < 256, no
-    overflow), then unpacks four short per-lane-group sums. That takes a
-    pass from ~34 vector ops/element (16 compare+count chains as separate
-    XLA reductions) to ~8 in one fused reduce — the selection was measured
-    VPU-compute-bound at 6.1 ms for a 21M-element band stack (mantis), so
-    op count per element is the metric that matters. Exactness is
-    untouched: the histogram is identical.
+    via radix-16 selection (8 passes of 4 value bits) with PACKED per-pass
+    counters. A pass bins ``(u - lo) >> shift`` into 16 buckets, but
+    instead of 16 full compare-sum reductions (~34 vector ops/element,
+    measured 6.1 ms on a 21M-element mantis band stack) it packs each
+    group of 4 bucket contributions into 8-bit fields of one uint32
+    (``1 << 8*(idx & 3)`` steered into word ``idx >> 2``) and runs FOUR
+    fused sums over the 128-row axis (field max 128 < 256, no overflow),
+    then unpacks sixteen short per-lane-group sums. ~18 ops/element per
+    pass, same pass count / HBM reads as before — strictly less work
+    whether the reduction is compute- or bandwidth-bound. Values outside
+    the current window wrap to idx >= 16, whose high bits match no word
+    index, so they drop out with no explicit mask. The histogram — and
+    therefore the selected order statistic — is bit-identical.
 
     Padding: ``u`` is padded to a multiple of 128 with 0xFFFFFFFF keys
     (the NaN key — above every finite value's key), which sort strictly
@@ -42,17 +43,23 @@ def _kth_order_stat(u: jnp.ndarray, kidx) -> jnp.ndarray:
     nb = jnp.int32(0)
     # unrolled (a fori_loop measures ~25% slower: the while-loop carries
     # defeat cross-pass pipelining)
-    for i in range(16):
-        sh = jnp.uint32(30 - 2 * i)
+    for i in range(8):
+        sh = jnp.uint32(28 - 4 * i)
         idx = (g - lo) >> sh
-        contrib = jnp.where(
-            idx < 4, jnp.uint32(1) << ((idx & 3) << 3), jnp.uint32(0)
-        )
-        packed = jnp.sum(contrib, axis=0, dtype=jnp.uint32)  # fields <= 128
+        base = jnp.uint32(1) << ((idx & 3) << 3)
+        hi = idx >> 2
+        packed = [
+            jnp.sum(
+                jnp.where(hi == jnp.uint32(w), base, jnp.uint32(0)),
+                axis=0,
+                dtype=jnp.uint32,
+            )
+            for w in range(4)
+        ]
         hist = jnp.stack(
             [
-                jnp.sum(((packed >> (8 * j)) & 0xFF).astype(jnp.int32))
-                for j in range(4)
+                jnp.sum(((packed[j >> 2] >> (8 * (j & 3))) & 0xFF).astype(jnp.int32))
+                for j in range(16)
             ]
         )
         cum = jnp.cumsum(hist)
