@@ -45,6 +45,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 BATCH = 8
@@ -93,15 +94,19 @@ def _run_phase(label: str, snippet: str, est_s: float, extra: dict) -> dict | No
     """Run a measurement phase in a fresh interpreter, deadline-gated.
 
     Returns the parsed JSON (last stdout line) or None if skipped/failed.
-    Retries once on nonzero exit OR timeout (transient tunnel
-    FailedPrecondition / HTTP 500 compile errors happen, and the axon
-    tunnel has been observed to HANG outright for many minutes — seen
-    2026-08-17: even jax.devices() blocked, stalling a phase with zero
-    CPU). Attempt 1 is therefore capped near its own estimate instead of
-    the whole remaining budget, so a hung tunnel cannot eat every later
-    phase; attempt 2 gets whatever budget is left. stderr is inherited so
-    phase progress lands in the driver's log tail.
+    Retries once on nonzero exit, overall deadline, or STALL. The axon
+    tunnel has been observed to hang outright (seen 2026-08-17: even
+    jax.devices() blocked for 90+ min with zero CPU); with a plain
+    subprocess timeout of "whatever budget is left", one hung phase eats
+    the round's entire budget and the retry never runs. A hard per-attempt
+    cap is wrong the other way: a HEALTHY fleet pass can legitimately take
+    many minutes (per-species compile/cache-load over the tunnel is
+    ~40 s each, and the fleet logs one line per species as it goes). So
+    the watchdog is silence-based: kill only when the phase has produced
+    no stderr/stdout for ``stall_s`` (> the longest observed silent remote
+    compile), then retry with the remaining budget.
     """
+    stall_s = float(os.environ.get("BENCH_STALL_S", "420"))
     for attempt in (1, 2):
         left = remaining()
         if left < est_s:
@@ -109,27 +114,58 @@ def _run_phase(label: str, snippet: str, est_s: float, extra: dict) -> dict | No
             extra[f"skipped_{label}"] = f"budget ({left:.0f}s left)"
             _write_extra(extra)
             return None
-        cap = left - 15.0 if attempt == 2 else min(left - 15.0, max(3.5 * est_s, 300.0))
-        log(f"[bench] {label} (attempt {attempt}, {left:.0f}s left, cap {cap:.0f}s)")
+        log(f"[bench] {label} (attempt {attempt}, {left:.0f}s left)")
         try:
-            r = subprocess.run(
+            p = subprocess.Popen(
                 [sys.executable, "-c", _PRELUDE + snippet],
                 stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
                 text=True,
-                timeout=max(30.0, cap),
             )
-            if r.returncode == 0:
-                out = json.loads(r.stdout.strip().splitlines()[-1])
+            out_lines: list[str] = []
+            last_io = [time.perf_counter()]
+
+            def _pump(stream, sink):
+                for line in stream:
+                    last_io[0] = time.perf_counter()
+                    sink(line)
+
+            threads = [
+                threading.Thread(
+                    target=_pump,
+                    args=(p.stderr, lambda l: print(l, end="", file=sys.stderr, flush=True)),
+                    daemon=True,
+                ),
+                threading.Thread(target=_pump, args=(p.stdout, out_lines.append), daemon=True),
+            ]
+            for t in threads:
+                t.start()
+            why = None
+            while p.poll() is None:
+                if remaining() < 10.0:
+                    why = "deadline"
+                elif time.perf_counter() - last_io[0] > stall_s:
+                    why = f"stall (no output for {stall_s:.0f}s)"
+                if why:
+                    p.kill()
+                    break
+                time.sleep(1.0)
+            p.wait()
+            for t in threads:
+                t.join(timeout=5.0)
+            if why is not None:
+                log(f"[bench] {label} killed: {why} (attempt {attempt})")
+                if why == "deadline" or attempt == 2:
+                    extra[f"skipped_{label}"] = why
+                    _write_extra(extra)
+                    return None
+                continue
+            if p.returncode == 0:
+                out = json.loads("".join(out_lines).strip().splitlines()[-1])
                 extra.update(out)
                 _write_extra(extra)
                 return out
-            log(f"[bench] {label} rc={r.returncode}")
-        except subprocess.TimeoutExpired:
-            log(f"[bench] {label} timed out (attempt {attempt})")
-            if attempt == 2:
-                extra[f"skipped_{label}"] = "timeout"
-                _write_extra(extra)
-                return None
+            log(f"[bench] {label} rc={p.returncode}")
         except Exception as e:
             log(f"[bench] {label} failed: {type(e).__name__}: {e}")
     extra[f"skipped_{label}"] = "failed twice"
