@@ -121,14 +121,36 @@ def percentile(x: jnp.ndarray, q: float) -> jnp.ndarray:
     return val0 + jnp.float32(frac) * (val1 - val0)
 
 
+def _rank_fixed_point(n_valid, q: float):
+    """k0/frac for rank (n_valid-1)*q/100 with a *traced* n_valid.
+
+    Computed in exact int32 fixed-point when q is a multiple of 0.1 (all
+    reference percentiles are integers): with m = q*10 and n-1 = a*1000+b,
+    (n-1)*m/1000 = a*m + (b*m)/1000 where b*m < 1e6 — no overflow, no
+    rounding, so the bucketed result matches the exact path bit-for-bit.
+    A float32 computation here has absolute error ~0.1 at ~2M valid pixels,
+    enough to shift k0 by ±1. Non-0.1-multiple q falls back to f32 with the
+    corresponding (documented) ±1-rank tolerance."""
+    n_valid = jnp.asarray(n_valid)
+    m = round(q * 10.0)
+    if abs(m - q * 10.0) < 1e-9:
+        nm1 = jnp.maximum(n_valid.astype(jnp.int32) - 1, 0)
+        a, b = nm1 // 1000, nm1 % 1000
+        prod = b * jnp.int32(m)
+        k0 = a * jnp.int32(m) + prod // 1000
+        frac = (prod % 1000).astype(jnp.float32) / 1000.0
+        return k0, frac
+    v = (n_valid.astype(jnp.float32) - 1.0) * (q / 100.0)
+    k0 = jnp.floor(v).astype(jnp.int32)
+    return k0, v - k0.astype(jnp.float32)
+
+
 def _percentile_masked(x: jnp.ndarray, valid: jnp.ndarray, n_valid, q: float):
     """Exact percentile over ``x[valid]`` with a *traced* element count.
 
     k0/frac are data (the real frame size varies per call of one compiled
     bucket program), so the interpolation branch is a where, not Python."""
-    v = (n_valid.astype(jnp.float32) - 1.0) * (q / 100.0)
-    k0 = jnp.floor(v).astype(jnp.int32)
-    frac = v - k0.astype(jnp.float32)
+    k0, frac = _rank_fixed_point(n_valid, q)
     if jax.default_backend() == "cpu":
         s = jnp.sort(jnp.where(valid, x, jnp.inf).ravel())
         val0 = jnp.take(s, k0)

@@ -588,7 +588,7 @@ def convert_torch_state(state_dict, stage: int = 3) -> dict:
     return {"params": params}
 
 
-def export_torch_state(variables, stage: int = 3) -> dict:
+def export_torch_state(variables, stage: int = 3, strict: bool = False) -> dict:
     """Inverse of convert_torch_state: flax params -> a reference-layout
     torch state_dict (flat names, torch tensor layouts) as numpy arrays.
 
@@ -649,10 +649,23 @@ def export_torch_state(variables, stage: int = 3) -> dict:
                 # torch ConvTranspose2d has one. Export the mean so a
                 # flax-trained model whose copies diverged loses the least
                 # (exact whenever the copies are identical — fresh init or
-                # torch-imported weights).
-                sd[f"{prefix}.decoder_layers.{i}.0.bias"] = (
-                    np.asarray(bias).reshape(4, half).mean(axis=0)
-                )
+                # torch-imported weights). Diverged copies make the export
+                # lossy, so surface it instead of silently degrading.
+                copies = np.asarray(bias).reshape(4, half)
+                spread = float(np.abs(copies - copies.mean(axis=0)).max())
+                if spread > 1e-6:
+                    msg = (
+                        f"{prefix}.dec_up_{i}: the 4 per-(dy,dx) up-conv bias "
+                        f"copies diverged (max |copy-mean| {spread:.3e}); the "
+                        "torch export collapses them to their mean, so the "
+                        "exported model's forward differs from the flax one"
+                    )
+                    if strict:
+                        raise ValueError(msg)
+                    import warnings
+
+                    warnings.warn(msg, stacklevel=2)
+                sd[f"{prefix}.decoder_layers.{i}.0.bias"] = copies.mean(axis=0)
             sd[f"{prefix}.decoder_layers.{i}.1.weight"] = conv_w(
                 q[f"dec_fuse_{i}"]["kernel"]
             )

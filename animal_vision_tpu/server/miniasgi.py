@@ -211,9 +211,10 @@ def _ws_frame(opcode: int, payload: bytes) -> bytes:
     return head + payload
 
 
-async def _ws_read_frame(reader) -> tuple[int, bytes]:
-    """One (possibly masked) client frame -> (opcode, payload)."""
+async def _ws_read_frame(reader) -> tuple[bool, int, bytes]:
+    """One (possibly masked) client frame -> (fin, opcode, payload)."""
     b1, b2 = await reader.readexactly(2)
+    fin = bool(b1 & 0x80)
     opcode = b1 & 0x0F
     masked = b2 & 0x80
     n = b2 & 0x7F
@@ -225,7 +226,7 @@ async def _ws_read_frame(reader) -> tuple[int, bytes]:
     data = await reader.readexactly(n)
     if masked:
         data = bytes(c ^ mask[i % 4] for i, c in enumerate(data))
-    return opcode, data
+    return fin, opcode, data
 
 
 async def _serve_connection(app, reader, writer):
@@ -300,19 +301,38 @@ async def _bridge_websocket(app, path: str, qs: str, reader, writer):
     closed = asyncio.Event()
 
     async def pump():  # socket frames -> ASGI messages
+        # Browsers fragment large messages (Chrome at ~128 KiB), so a 1080p
+        # data-URI frame arrives as an 0x1 frame with FIN=0 followed by 0x0
+        # continuations; buffer until FIN before delivering (RFC 6455 §5.4).
+        frag_op = 0
+        frag_buf = bytearray()
         try:
             while not closed.is_set():
-                opcode, data = await _ws_read_frame(reader)
+                fin, opcode, data = await _ws_read_frame(reader)
                 if opcode == 0x8:  # close
                     await inbox.put({"type": "websocket.disconnect", "code": 1000})
                     return
-                if opcode == 0x9:  # ping -> pong
+                if opcode == 0x9:  # ping -> pong (control frames interleave)
                     writer.write(_ws_frame(0xA, data))
                     await writer.drain()
-                elif opcode == 0x1:
-                    await inbox.put({"type": "websocket.receive", "text": data.decode()})
-                elif opcode == 0x2:
-                    await inbox.put({"type": "websocket.receive", "bytes": data})
+                    continue
+                if opcode == 0xA:  # pong
+                    continue
+                if opcode in (0x1, 0x2):
+                    frag_op = opcode
+                    frag_buf = bytearray(data)
+                elif opcode == 0x0:  # continuation of the message-initial opcode
+                    frag_buf.extend(data)
+                else:
+                    continue
+                if not fin:
+                    continue
+                payload = bytes(frag_buf)
+                frag_buf = bytearray()
+                if frag_op == 0x1:
+                    await inbox.put({"type": "websocket.receive", "text": payload.decode()})
+                else:
+                    await inbox.put({"type": "websocket.receive", "bytes": payload})
         except (asyncio.IncompleteReadError, ConnectionError):
             await inbox.put({"type": "websocket.disconnect", "code": 1006})
 

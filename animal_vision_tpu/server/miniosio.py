@@ -162,8 +162,17 @@ class AsyncServer:
         if stype == "1":  # namespace DISCONNECT
             return False
         if stype == "2":  # EVENT
+            # Clients that pass a callback prefix the JSON array with an
+            # integer ack id ('42<id>["event",...]'); strip it and reply
+            # with an empty ACK ('43<id>[]') so such clients don't stall.
+            i = 0
+            while i < len(payload) and payload[i].isdigit():
+                i += 1
+            ack_id, payload = payload[:i], payload[i:]
             data = json.loads(payload)
             await self._trigger(data[0], sess.sid, *data[1:])
+            if ack_id:
+                await sess.send_text("43" + ack_id + "[]")
             return True
         return True  # ACK/BINARY packets unused
 

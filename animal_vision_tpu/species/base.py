@@ -63,8 +63,12 @@ def _host_resize(img: np.ndarray, h: int, w: int, interp: str) -> np.ndarray:
     except ImportError:
         from animal_vision_tpu.core import geometry
 
-        dev = geometry.resize(jnp.asarray(img, jnp.float32), (h, w), interp)
-        out = np.asarray(dev)
+        # This runs from the OOM degradation ladder: pin the computation to
+        # the host CPU backend so recovery never allocates on the exhausted
+        # accelerator (jax ships a CPU backend on every platform).
+        with jax.default_device(jax.devices("cpu")[0]):
+            dev = geometry.resize(jnp.asarray(img, jnp.float32), (h, w), interp)
+            out = np.asarray(dev)
         if img.dtype == np.uint8:
             out = np.clip(out + 0.5, 0, 255).astype(np.uint8)
         return out.astype(img.dtype, copy=False)

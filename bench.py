@@ -8,15 +8,20 @@ species timed individually; no class extrapolation). The driver target
 vs_baseline is value/1000 since the reference publishes no app-level
 throughput numbers (SURVEY.md §6).
 
-Budget safety (VERDICT round-2 weak #1): the primary fleet metric is
-measured FIRST and its JSON line is printed the moment the fleet loop
-finishes; every later phase is deadline-gated against BENCH_BUDGET_S
-(default 900 s) and skipped with a log line when it would not fit, and
-BENCH_extra.json is rewritten after every phase so a mid-run kill loses at
-most one phase. The main process never touches the TPU: each phase runs in
-its own subprocess so resident programs/buffers from one phase cannot slow
-a later large-model phase (measured 188 -> 351 ms full-res MST++ when
-sharing a process), and a phase crash (tunnel flake) is retried once.
+Budget safety (VERDICT round-2 weak #1 / round-3 weak #1): a PRE-FLIGHT
+PROBE (hard 90 s cap, retried with backoff) must see the TPU answer a
+trivial program before any phase launches, so a hung tunnel burns 90 s per
+try instead of a full stall window; the primary fleet metric is measured
+FIRST and its JSON line is printed the moment the fleet loop finishes;
+every later phase is deadline-gated against BENCH_BUDGET_S (default 900 s)
+and skipped with a log line when it would not fit; every snippet logs
+heartbeats around device_put and each compile so the silence watchdog can
+discriminate hang from work; and BENCH_extra.json is MERGED (never
+clobbered) after every phase so a failed run degrades to stale-but-present
+data. The main process never touches the TPU: each phase runs in its own
+subprocess so resident programs/buffers from one phase cannot slow a later
+large-model phase (measured 188 -> 351 ms full-res MST++ when sharing a
+process), and a phase crash (tunnel flake) is retried once.
 
 Methodology: each program runs vmapped over the streaming executor's
 production batch (8 frames — pipeline/executor.py's default; deeper batching
@@ -62,6 +67,59 @@ def remaining() -> float:
     return BUDGET_S - (time.perf_counter() - _T0)
 
 
+_PROBE_SRC = """
+import sys, time
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+t0 = time.time()
+log("[probe] importing jax")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import jax.numpy as jnp
+log(f"[probe] listing devices ({time.time()-t0:.0f}s)")
+d = jax.devices()
+log(f"[probe] devices={d} ({time.time()-t0:.0f}s)")
+y = float(jnp.sum(jnp.ones((8, 128), jnp.float32) * 2))
+log(f"[probe] compute ok: {y} ({time.time()-t0:.0f}s)")
+print("PROBE_OK", flush=True)
+"""
+
+
+def _preflight() -> bool:
+    """Confirm the TPU answers a trivial program before launching any phase.
+
+    The axon tunnel has been observed to hang outright (2026-08-17/18: even
+    jax.devices() blocked for hours) — indistinguishable, from inside a
+    phase, from a slow remote compile. A hung tunnel therefore burns a hard
+    90 s here per try (retried with backoff while the budget allows) instead
+    of a 420 s stall window per fleet attempt (VERDICT round-3 weak #1)."""
+    attempt = 0
+    while True:
+        attempt += 1
+        left = remaining()
+        if left < 120.0:  # need headroom for the fleet after a success
+            log(f"[bench] preflight gave up: {left:.0f}s left")
+            return False
+        log(f"[bench] preflight attempt {attempt} ({left:.0f}s left)")
+        try:
+            p = subprocess.run(
+                [sys.executable, "-u", "-c", _PROBE_SRC],
+                timeout=90.0,
+                capture_output=True,
+                text=True,
+            )
+            sys.stderr.write(p.stderr)
+            if p.returncode == 0 and "PROBE_OK" in p.stdout:
+                log("[bench] preflight: TPU alive")
+                return True
+            log(f"[bench] preflight rc={p.returncode}")
+        except subprocess.TimeoutExpired:
+            log("[bench] preflight: no response in 90s (tunnel hung?)")
+        time.sleep(min(15.0 * attempt, 60.0))
+
+
 _PRELUDE = """
 import json, time, sys
 import numpy as np
@@ -74,10 +132,15 @@ import jax.numpy as jnp
 def log(m):
     print(m, file=sys.stderr, flush=True)
 
-def time_chained(prog, frames, iters):
-    # per-frame seconds for a batched (B,...)->(B,...) uint8 program
+def time_chained(prog, frames, iters, tag=""):
+    # per-frame seconds for a batched (B,...)->(B,...) uint8 program.
+    # Heartbeats bracket the compile so the bench's silence watchdog can
+    # tell a hung tunnel from a slow remote compile.
+    log(f"  [hb] {tag} compiling")
+    t0 = time.perf_counter()
     out = prog(frames)
     _ = float(jnp.sum(out.astype(jnp.float32)[:1, :2, :2]))  # compile+sync
+    log(f"  [hb] {tag} compiled in {time.perf_counter()-t0:.0f}s")
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -174,14 +237,28 @@ def _run_phase(label: str, snippet: str, est_s: float, extra: dict) -> dict | No
 
 
 def _write_extra(extra: dict) -> None:
+    """Merge into the on-disk file (never clobber): a failed run degrades to
+    stale-but-present data instead of destroying the previous numbers
+    (VERDICT round-3 weak #3). Fresh keys win; stale skip markers for phases
+    this run re-attempted are dropped by main() at startup."""
+    merged: dict = {}
+    try:
+        with open("BENCH_extra.json") as f:
+            merged = json.load(f)
+    except Exception:
+        pass
+    merged.update(extra)
     with open("BENCH_extra.json", "w") as f:
-        json.dump(extra, f, indent=1)
+        json.dump(merged, f, indent=1)
 
 
 FLEET_SNIPPET = f"""
 from animal_vision_tpu.species import NON_UV_NAMES, get_animal
 rng = np.random.default_rng(0)
+log("[hb] host frames built; device_put (first device contact)")
 frames = jax.device_put(jnp.asarray(rng.integers(0, 256, size=({BATCH}, {H}, {W}, 3), dtype=np.uint8)))
+_ = float(jnp.sum(frames.astype(jnp.float32)[:1, :2, :2]))
+log("[hb] device_put done; starting fleet")
 per_species = {{}}
 total = 0.0
 for name in NON_UV_NAMES:
@@ -190,7 +267,7 @@ for name in NON_UV_NAMES:
             animal = get_animal(name)
             prog = animal._program(({H}, {W}, 3), np.uint8, batched=True)
             wrapped = jax.jit(lambda img, p=prog: p(img)[1])
-            dt = time_chained(wrapped, frames, 30)
+            dt = time_chained(wrapped, frames, 30, tag=name)
             break
         except Exception as e:
             log(f"  {{name}} attempt {{attempt}} failed: {{e}}")
@@ -200,15 +277,36 @@ for name in NON_UV_NAMES:
     total += dt
     log(f"  {{name}}: {{1.0/dt:.0f}} fps")
 fleet = len(NON_UV_NAMES) / total
+print(json.dumps(dict(fleet_hm_fps=round(fleet, 2), nonuv_per_species_1080p_fps=per_species)))
+"""
+
+
+UV16_SNIPPET = f"""
+from animal_vision_tpu.species import UV_NAMES, get_animal
+rng = np.random.default_rng(0)
+log("[hb] device_put (first device contact)")
+frames = jax.device_put(jnp.asarray(rng.integers(0, 256, size=({BATCH}, {H}, {W}, 3), dtype=np.uint8)))
+_ = float(jnp.sum(frames.astype(jnp.float32)[:1, :2, :2]))
+log("[hb] device_put done; timing all UV species")
 uv = {{}}
-for name in ("goldfish", "kestrel", "mantis_shrimp"):
-    animal = get_animal(name)
-    prog = animal._program(({H}, {W}, 3), np.uint8, batched=True)
-    wrapped = jax.jit(lambda img, p=prog: p(img)[1])
-    dt = time_chained(wrapped, frames, 10)
+for name in UV_NAMES:
+    for attempt in (1, 2):
+        try:
+            animal = get_animal(name)
+            prog = animal._program(({H}, {W}, 3), np.uint8, batched=True)
+            wrapped = jax.jit(lambda img, p=prog: p(img)[1])
+            dt = time_chained(wrapped, frames, 10, tag=name)
+            break
+        except Exception as e:
+            log(f"  {{name}} attempt {{attempt}} failed: {{e}}")
+            if attempt == 2:
+                raise
     uv[f"uv_classic_{{name}}_1080p_fps"] = round(1.0 / dt, 1)
     log(f"  uv {{name}}: {{1.0/dt:.1f}} fps")
-print(json.dumps(dict(fleet_hm_fps=round(fleet, 2), nonuv_per_species_1080p_fps=per_species, **uv)))
+vals = sorted(uv.values())
+uv["uv_classic_min_fps"] = vals[0]
+uv["uv_classic_hm_fps"] = round(len(vals) / sum(1.0 / v for v in vals), 1)
+print(json.dumps(uv))
 """
 
 
@@ -216,9 +314,14 @@ MST_FULLRES_SNIPPET = f"""
 from animal_vision_tpu.models import zoo
 module, variables = zoo.model_generator("mst_plus_plus")
 rng = np.random.default_rng(1)
+log("[hb] device_put (first device contact)")
 x = jax.device_put(jnp.asarray(rng.random((1, {H}, {W}, 3), dtype=np.float32)))
+_ = float(jnp.sum(x[:, :2, :2, :1]))
+log("[hb] device_put done; compiling full-res step")
 step = jax.jit(lambda inp: module.apply(variables, inp))
+t0 = time.perf_counter()
 o = step(x); _ = float(jnp.sum(o[:, :2, :2, :1]))
+log(f"[hb] compiled in {{time.perf_counter()-t0:.0f}}s")
 best = 1e9
 for _ in range(2):
     t0 = time.perf_counter()
@@ -227,7 +330,25 @@ for _ in range(2):
         y = step(x + y[..., :3] * 0.0)
     _ = float(jnp.sum(y[:, :2, :2, :1]))
     best = min(best, (time.perf_counter() - t0) / 5)
-print(json.dumps({{"mst_plus_plus_fullres_1080p_ms_per_frame": round(best * 1e3, 2)}}))
+# MFU (VERDICT round-3 next #8): algorithmic FLOPs from XLA's cost analysis
+# of the plain (non-fused) path at 256x256 on the host CPU backend, scaled
+# linearly to 1080p pixels (MST++ is convolutional + C-by-C spectral
+# attention: both are linear in HW), against 197 bf16 TFLOP/s v5e peak.
+log("[hb] computing algorithmic FLOPs on the CPU backend")
+with jax.default_device(jax.devices("cpu")[0]):
+    lowered = jax.jit(lambda v, a: module.apply(v, a)).lower(
+        variables, jnp.zeros((1, 256, 256, 3), jnp.float32))
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {{}}
+flops = float(cost.get("flops", 0.0)) * ({H} * {W}) / (256 * 256)
+tflops = flops / best / 1e12
+print(json.dumps({{
+    "mst_plus_plus_fullres_1080p_ms_per_frame": round(best * 1e3, 2),
+    "mst_plus_plus_fullres_algorithmic_gflops": round(flops / 1e9, 1),
+    "mst_plus_plus_fullres_achieved_tflops": round(tflops, 2),
+    "mst_plus_plus_fullres_mfu_pct_vs_197tf_bf16": round(100 * tflops / 197.0, 2),
+}}))
 """
 
 
@@ -239,7 +360,9 @@ frames = jax.device_put(jnp.asarray(rng.integers(0, 256, size=(4, {H}, {W}, 3), 
 animal = attach_mst(Goldfish())
 prog = animal._program(({H}, {W}, 3), np.uint8, batched=True)
 wrapped = jax.jit(lambda img: prog(img)[1])
+log("[hb] compiling uv+mst program")
 y = wrapped(frames); _ = float(jnp.sum(y.astype(jnp.float32)[:1, :2, :2]))
+log("[hb] compiled; timing")
 t0 = time.perf_counter()
 y = frames
 for _ in range(8):
@@ -259,8 +382,26 @@ print(json.dumps(quality_report()))
 def main() -> None:
     extra: dict = {}
 
-    # Phase 1 (primary): the non-UV fleet + UV classic points, one process.
-    fleet = _run_phase("fleet+uv_classic", FLEET_SNIPPET, est_s=120.0, extra=extra)
+    # Drop stale skip markers from previous runs so a phase that succeeds
+    # now doesn't carry a contradictory leftover marker (fresh markers are
+    # re-added by _run_phase when a phase fails THIS run).
+    try:
+        with open("BENCH_extra.json") as f:
+            prior = json.load(f)
+        cleaned = {k: v for k, v in prior.items() if not k.startswith("skipped_")}
+        if cleaned != prior:
+            with open("BENCH_extra.json", "w") as f:
+                json.dump(cleaned, f, indent=1)
+    except Exception:
+        pass
+
+    # Phase 0: don't launch anything until the TPU answers a trivial program.
+    if not _preflight():
+        log("[bench] FATAL: TPU unreachable; no primary metric")
+        sys.exit(1)
+
+    # Phase 1 (primary): the non-UV fleet, one process.
+    fleet = _run_phase("fleet", FLEET_SNIPPET, est_s=120.0, extra=extra)
     if fleet is None:
         log("[bench] FATAL: fleet phase failed; no primary metric")
         sys.exit(1)
@@ -280,6 +421,7 @@ def main() -> None:
         flush=True,
     )
 
+    _run_phase("uv16", UV16_SNIPPET, est_s=150.0, extra=extra)
     _run_phase("mst_fullres", MST_FULLRES_SNIPPET, est_s=90.0, extra=extra)
     _run_phase("uv_mst", UV_MST_SNIPPET, est_s=90.0, extra=extra)
     _run_phase("quality", QUALITY_SNIPPET, est_s=120.0, extra=extra)

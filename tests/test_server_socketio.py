@@ -136,9 +136,9 @@ def test_socketio_disconnect_cleans_session():
 # -- real TCP: vendored stdlib server + hand-rolled websocket client --------
 
 
-def _mask_frame(opcode: int, payload: bytes) -> bytes:
+def _mask_frame(opcode: int, payload: bytes, fin: bool = True) -> bytes:
     mask = secrets.token_bytes(4)
-    head = bytes([0x80 | opcode])
+    head = bytes([(0x80 if fin else 0x00) | opcode])
     n = len(payload)
     if n < 126:
         head += bytes([0x80 | n])
@@ -225,6 +225,86 @@ def test_vendored_server_speaks_websocket_and_rest_over_tcp():
         finally:
             server.close()
             await server.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_vendored_server_reassembles_fragmented_frames():
+    """Browsers fragment large sends (Chrome at ~128 KiB): a /ws JSON frame
+    split across a FIN=0 text frame + FIN=1 continuation must be delivered
+    as ONE message (RFC 6455 §5.4; advisor round-3 medium finding)."""
+    from animal_vision_tpu.server import miniasgi
+
+    async def scenario():
+        app = build_asgi_app()
+        server = await miniasgi.serve_async(app, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            key = base64.b64encode(secrets.token_bytes(16)).decode()
+            writer.write(
+                (
+                    "GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                    f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                    "Sec-WebSocket-Version: 13\r\n\r\n"
+                ).encode()
+            )
+            assert b"101" in await reader.readline()
+            while (await reader.readline()) not in (b"\r\n", b""):
+                pass
+            msg = json.dumps(
+                {"image": "data:image/jpeg;base64," + _jpeg_b64(seed=5), "animal": "dog"}
+            ).encode()
+            third = len(msg) // 3
+            # text frame FIN=0, continuation FIN=0, continuation FIN=1 —
+            # with an interleaved ping control frame, which must not break
+            # the fragment sequence.
+            writer.write(_mask_frame(0x1, msg[:third], fin=False))
+            writer.write(_mask_frame(0x9, b"hb"))  # ping mid-message
+            writer.write(_mask_frame(0x0, msg[third : 2 * third], fin=False))
+            writer.write(_mask_frame(0x0, msg[2 * third :], fin=True))
+            await writer.drain()
+            got_pong = False
+            while True:
+                op, payload = await asyncio.wait_for(_read_server_frame(reader), 30)
+                if op == 0xA:
+                    got_pong = True
+                    continue
+                break
+            assert got_pong
+            out = json.loads(payload.decode())
+            assert out["image"].startswith("data:image/jpeg")
+            writer.close()
+        finally:
+            server.close()
+            await server.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_socketio_event_with_ack_id_dispatches_and_acks():
+    """python-socketio clients that pass a callback emit '42<id>[...]'; the
+    engine must strip the ack id, dispatch, and reply '43<id>[]'
+    (advisor round-3 low finding)."""
+
+    async def scenario():
+        app = build_asgi_app()
+        c = _AsgiWsClient(app)
+        await c.start()
+        await c.recv()  # open
+        await c.send("40")
+        await c.recv()  # connect ack
+        await c.send("427" + json.dumps(["sendimage", _jpeg_b64(seed=6), "cat"]))
+        seen = {}
+        for _ in range(2):
+            reply = await c.recv(timeout=30)
+            if reply.startswith("43"):
+                seen["ack"] = reply
+            else:
+                seen["event"] = reply
+        assert seen["ack"] == "437[]"
+        assert json.loads(seen["event"][2:])[0] == "getimage"
+        await c.close()
 
     asyncio.run(scenario())
 
