@@ -282,14 +282,14 @@ print(json.dumps(dict(fleet_hm_fps=round(fleet, 2), nonuv_per_species_1080p_fps=
 
 
 UV16_SNIPPET = f"""
-from animal_vision_tpu.species import UV_NAMES, get_animal
+from animal_vision_tpu.species import UV_NAMES, UNIQUE_UV_NAMES, get_animal
 rng = np.random.default_rng(0)
 log("[hb] device_put (first device contact)")
 frames = jax.device_put(jnp.asarray(rng.integers(0, 256, size=({BATCH}, {H}, {W}, 3), dtype=np.uint8)))
 _ = float(jnp.sum(frames.astype(jnp.float32)[:1, :2, :2]))
-log("[hb] device_put done; timing all UV species")
+log("[hb] device_put done; timing all 16 UV species")
 uv = {{}}
-for name in UV_NAMES:
+for name in UV_NAMES + UNIQUE_UV_NAMES:
     for attempt in (1, 2):
         try:
             animal = get_animal(name)
