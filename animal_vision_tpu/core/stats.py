@@ -9,6 +9,8 @@ flattened frame (jnp.percentile == np.percentile 'linear' method).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 
@@ -17,19 +19,20 @@ EPS_DEFAULT = 1e-8
 
 def _kth_order_stat(u: jnp.ndarray, kidx) -> jnp.ndarray:
     """Exact k-th (0-indexed) order statistic of a total-order uint32 view
-    via radix-16 selection (8 passes of 4 value bits) with PACKED per-pass
-    counters. A pass bins ``(u - lo) >> shift`` into 16 buckets, but
-    instead of 16 full compare-sum reductions (~34 vector ops/element,
-    measured 6.1 ms on a 21M-element mantis band stack) it packs each
-    group of 4 bucket contributions into 8-bit fields of one uint32
-    (``1 << 8*(idx & 3)`` steered into word ``idx >> 2``) and runs FOUR
-    fused sums over the 128-row axis (field max 128 < 256, no overflow),
-    then unpacks sixteen short per-lane-group sums. ~18 ops/element per
-    pass, same pass count / HBM reads as before — strictly less work
-    whether the reduction is compute- or bandwidth-bound. Values outside
-    the current window wrap to idx >= 16, whose high bits match no word
-    index, so they drop out with no explicit mask. The histogram — and
-    therefore the selected order statistic — is bit-identical.
+    via radix-16 selection (8 passes of 4 value bits). A pass bins
+    ``(u - lo) >> shift`` into 16 buckets and counts each with a plain
+    float32 where-sum over the 128-row axis. The float accumulator is the
+    load-bearing choice: XLA multi-output-fuses sibling f32 reductions
+    into ONE sweep of the array (measured 1.9 ms for all 16 counts on a
+    21M-element mantis band stack), while uint32 reductions refuse the
+    fusion and re-sweep per counter (14.6 ms/pass — the earlier
+    packed-bitfield counters fought the op count but kept the uint32
+    accumulator, which was the actual cost). Exactness holds: each
+    axis-0 partial is an integer <= 128 (exact in f32); the per-bucket
+    finish sums those partials in int32. Values outside the current
+    window wrap to idx >= 16 and match no bucket, so they drop out with
+    no explicit mask. The histogram — and therefore the selected order
+    statistic — is bit-identical to a serial count.
 
     Padding: ``u`` is padded to a multiple of 128 with 0xFFFFFFFF keys
     (the NaN key — above every finite value's key), which sort strictly
@@ -38,7 +41,11 @@ def _kth_order_stat(u: jnp.ndarray, kidx) -> jnp.ndarray:
     pad = (-uf.size) % 128
     if pad:
         uf = jnp.concatenate([uf, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
-    g = uf.reshape(128, -1)  # sum over axis 0 = sublane direction (fast)
+    # Barrier AFTER the (128, -1) reshape: a reshape producer fuses into
+    # every counting reduction and blocks their sibling fusion (same
+    # pathology as _order_keys_1d documents), re-sweeping the array per
+    # bucket. Materializing g once keeps each pass to a single sweep.
+    g = jax.lax.optimization_barrier(uf.reshape(128, -1))
     lo = jnp.uint32(0)
     nb = jnp.int32(0)
     # unrolled (a fori_loop measures ~25% slower: the while-loop carries
@@ -46,20 +53,34 @@ def _kth_order_stat(u: jnp.ndarray, kidx) -> jnp.ndarray:
     for i in range(8):
         sh = jnp.uint32(28 - 4 * i)
         idx = (g - lo) >> sh
-        base = jnp.uint32(1) << ((idx & 3) << 3)
-        hi = idx >> 2
-        packed = [
-            jnp.sum(
-                jnp.where(hi == jnp.uint32(w), base, jnp.uint32(0)),
-                axis=0,
-                dtype=jnp.uint32,
-            )
-            for w in range(4)
-        ]
+        # Eight sibling f32 where-sums, each packing TWO bucket counts in
+        # one accumulator (even bucket at 1, odd at 4096; per-column sums
+        # <= 128*4097 < 2^24, so f32 addition stays exact). f32 is the
+        # load-bearing accumulator choice — XLA multi-output-fuses sibling
+        # f32 reductions into ONE sweep of the array, while uint32
+        # reductions refuse the fusion and re-sweep per counter; the
+        # packing then halves the per-element op count vs 16 plain sums.
+        base = jnp.where((idx & 1) == jnp.uint32(0), 1.0, 4096.0)
+        hw = idx >> 1
+        wide = jnp.stack(
+            [
+                jnp.sum(jnp.where(hw == jnp.uint32(w), base, 0.0), axis=0)
+                for w in range(8)
+            ]
+        )  # (8, N/128)
+        # Barrier so the finish below can't pull the big fused sweep into
+        # its own (unfused, re-sweeping) reductions.
+        wide = jax.lax.optimization_barrier(wide)
+        odd = jnp.floor(wide * (1.0 / 4096.0))
+        even = wide - 4096.0 * odd
         hist = jnp.stack(
             [
-                jnp.sum(((packed[j >> 2] >> (8 * (j & 3))) & 0xFF).astype(jnp.int32))
-                for j in range(16)
+                s
+                for w in range(8)
+                for s in (
+                    jnp.sum(even[w].astype(jnp.int32)),
+                    jnp.sum(odd[w].astype(jnp.int32)),
+                )
             ]
         )
         cum = jnp.cumsum(hist)
@@ -72,6 +93,33 @@ def _kth_order_stat(u: jnp.ndarray, kidx) -> jnp.ndarray:
 def _f32_to_order(u: jnp.ndarray) -> jnp.ndarray:
     bits = jax.lax.bitcast_convert_type(u, jnp.uint32)
     return jnp.where(bits >> 31 == 0, bits | jnp.uint32(0x80000000), ~bits)
+
+
+def _order_keys_1d(x: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """Compact 1-D total-order keys of ``x``, materialized behind an
+    optimization barrier.
+
+    Two TPU-specific hazards this avoids (each measured ~25-80x on the
+    mantis (1080, 1920, 10) band stack):
+
+    - ``x.ravel()`` of an array whose minor dim is far below 128 lanes is
+      a catastrophic relayout of the lane-padded physical layout. Moving
+      the short axis to the front first (a cheap tiled transpose) lets the
+      ravel merge the already-lane-aligned trailing dims. Order statistics
+      only see the element multiset, so the permutation is free.
+    - Without the barrier, XLA fuses the transpose+key-map producer into
+      every counting reduction AND the fused producer blocks the sibling
+      multi-output reduction fusion — each of the 8 passes' 16 bucket
+      counts then re-sweeps the full array alone (measured 127 ms vs 5.4
+      for the barriered form)."""
+    if x.ndim >= 2 and int(x.shape[-1]) < 128:
+        x = jnp.moveaxis(x, -1, 0)
+    u = _f32_to_order(x.ravel())
+    if valid is not None:
+        if valid.ndim >= 2 and int(valid.shape[-1]) < 128:
+            valid = jnp.moveaxis(valid, -1, 0)
+        u = jnp.where(valid.ravel(), u, jnp.uint32(0xFFFFFFFF))
+    return jax.lax.optimization_barrier(u)
 
 
 def _order_to_f32(r: jnp.ndarray) -> jnp.ndarray:
@@ -103,11 +151,15 @@ def percentile(x: jnp.ndarray, q: float) -> jnp.ndarray:
             return _percentile_masked(x, valid, n_valid, float(q))
     if jax.default_backend() == "cpu":
         return jnp.percentile(x, q)
+    return _pct_tpu(float(q))(x)
+
+
+def _tpu_percentile_unbatched(x, q: float):
     n = int(x.size)
     v = (n - 1) * float(q) / 100.0
     k0 = int(v)
     frac = v - k0
-    u = _f32_to_order(x.ravel())
+    u = _order_keys_1d(x)
     o0 = _kth_order_stat(u, k0)
     val0 = _order_to_f32(o0)
     if frac == 0.0 or k0 + 1 >= n:
@@ -119,6 +171,101 @@ def percentile(x: jnp.ndarray, q: float) -> jnp.ndarray:
     val1 = _order_to_f32(jnp.min(bigger))
     val1 = jnp.where(cnt0 >= k0 + 2, val0, val1)
     return val0 + jnp.float32(frac) * (val1 - val0)
+
+
+def _tpu_percentile_batched(xb, q: float):
+    """Per-frame exact percentile over a leading batch axis — the
+    custom_vmap rule for the species pipelines (which vmap whole per-frame
+    programs over a frame batch).
+
+    Under vmap-driven batching, XLA does NOT multi-output-fuse the sibling
+    counting reductions, so the per-pass cost is (number of reductions) x
+    (one array sweep). This form therefore packs four 8-bit bucket fields
+    per uint32 accumulator — 4 reductions/pass (the minimum for a 16-way
+    histogram at <=128-row partial sums) — where the unbatched form uses
+    8 fused f32 sums (1 sweep). Histogram, and thus the selection, is
+    bit-identical to the unbatched path."""
+    b = int(xb.shape[0])
+    n = int(xb.size) // b
+    v = (n - 1) * float(q) / 100.0
+    k0 = int(v)
+    frac = v - k0
+    x = xb
+    if x.ndim >= 3 and int(x.shape[-1]) < 128:
+        x = jnp.moveaxis(x, -1, 1)  # cheap tiled transpose; multiset-free
+    u = _f32_to_order(x.reshape(b, -1))
+    pad = (-n) % 128
+    if pad:
+        u = jnp.concatenate(
+            [u, jnp.full((b, pad), 0xFFFFFFFF, jnp.uint32)], axis=1
+        )
+    g = jax.lax.optimization_barrier(u.reshape(b, 128, -1))
+    lo = jnp.zeros((b,), jnp.uint32)
+    nb = jnp.zeros((b,), jnp.int32)
+    for i in range(8):
+        sh = jnp.uint32(28 - 4 * i)
+        idx = (g - lo[:, None, None]) >> sh
+        lo2 = idx & 3
+        base = jnp.where(
+            lo2 < 2,
+            jnp.where(lo2 == 0, jnp.uint32(1), jnp.uint32(1 << 8)),
+            jnp.where(lo2 == 2, jnp.uint32(1 << 16), jnp.uint32(1 << 24)),
+        )
+        hi = idx >> 2
+        packed = [
+            jnp.sum(
+                jnp.where(hi == jnp.uint32(w), base, jnp.uint32(0)),
+                axis=1,
+                dtype=jnp.uint32,
+            )
+            for w in range(4)
+        ]  # 4 x (B, X); 8-bit fields hold <=128 each
+        packed = list(jax.lax.optimization_barrier(tuple(packed)))
+        hist = jnp.stack(
+            [
+                jnp.sum(
+                    ((packed[j >> 2] >> (8 * (j & 3))) & 0xFF).astype(jnp.int32),
+                    axis=1,
+                )
+                for j in range(16)
+            ],
+            axis=1,
+        )  # (B, 16)
+        cum = jnp.cumsum(hist, axis=1)
+        j = jnp.sum((cum <= (k0 - nb)[:, None]).astype(jnp.int32), axis=1)
+        prev = jnp.take_along_axis(cum, jnp.maximum(j - 1, 0)[:, None], axis=1)[:, 0]
+        nb = nb + jnp.where(j > 0, prev, 0)
+        lo = lo + (j.astype(jnp.uint32) << sh)
+    val0 = _order_to_f32(lo)
+    if frac == 0.0 or k0 + 1 >= n:
+        return val0
+    lo3 = lo[:, None, None]
+    cnt0 = jnp.sum((g <= lo3), axis=(1, 2), dtype=jnp.int32)
+    bigger = jnp.where(g > lo3, g, jnp.uint32(0xFFFFFFFF))
+    val1 = _order_to_f32(jnp.min(bigger, axis=(1, 2)))
+    val1 = jnp.where(cnt0 >= k0 + 2, val0, val1)
+    return val0 + jnp.float32(frac) * (val1 - val0)
+
+
+@_functools.lru_cache(maxsize=None)
+def _pct_tpu(q: float):
+    """custom_vmap'd TPU percentile: fused-sweep composition unbatched, the
+    4-reduction packed-counter composition when a species pipeline vmaps it
+    over a frame batch."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def pct(x):
+        return _tpu_percentile_unbatched(x, q)
+
+    @pct.def_vmap
+    def _rule(axis_size, in_batched, x):  # noqa: ARG001
+        (xb,) = in_batched
+        if not xb:
+            return pct(x), False
+        return _tpu_percentile_batched(x, q), True
+
+    return pct
 
 
 def _rank_fixed_point(n_valid, q: float):
@@ -156,7 +303,7 @@ def _percentile_masked(x: jnp.ndarray, valid: jnp.ndarray, n_valid, q: float):
         val0 = jnp.take(s, k0)
         val1 = jnp.take(s, jnp.minimum(k0 + 1, s.shape[0] - 1))
     else:
-        u = jnp.where(valid.ravel(), _f32_to_order(x.ravel()), jnp.uint32(0xFFFFFFFF))
+        u = _order_keys_1d(x, valid)
         o0 = _kth_order_stat(u, k0)
         val0 = _order_to_f32(o0)
         cnt0 = jnp.sum((u <= o0).astype(jnp.int32))

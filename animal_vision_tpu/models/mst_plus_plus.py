@@ -429,17 +429,26 @@ class MSTPlusPlus(nn.Module):
     stage: int = 3
 
     @nn.compact
-    def __call__(self, x):  # NHWC (B, H, W, 3)
-        b, h_inp, w_inp, _ = x.shape
-        pad_h = (8 - h_inp % 8) % 8
-        pad_w = (8 - w_inp % 8) % 8
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+    def __call__(self, x, weights_only: bool = False):  # NHWC (B, H, W, 3)
         k_in = _Kern((3, 3, self.in_channels, self.n_feat), name="conv_in")()
         k_out = _Kern((3, 3, self.n_feat, self.out_channels), name="conv_out")()
         stages = [
             MST(dim=31, stage=2, num_blocks=(1, 1, 1), name=f"body_{i}")
             for i in range(self.stage)
         ]
+        if weights_only:
+            # raw kernels for the externally-driven packed pipelines
+            # (parallel/fused_shard.py); declaration order matches the
+            # forward path so the param tree is identical.
+            return {
+                "conv_in": k_in,
+                "conv_out": k_out,
+                "stages": [st(None, weights_only=True) for st in stages],
+            }
+        b, h_inp, w_inp, _ = x.shape
+        pad_h = (8 - h_inp % 8) % 8
+        pad_w = (8 - w_inp % 8) % 8
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
         hp, wp = int(x.shape[1]), int(x.shape[2])
 
         fused = (
@@ -471,7 +480,7 @@ class MSTPlusPlus(nn.Module):
                 xp = fp
                 for sw in sws:
                     xp = mst_stage_packed(xp, sw)
-                op = packed_conv3x3(xp, k_out, 31, 4) + fp
+                op = packed_conv3x3(xp, k_out, 31, 4, residual=fp)
                 outs.append(op.reshape(hp, wp, 31))
             out = jnp.stack(outs)
         else:

@@ -115,6 +115,27 @@ def _pack_of(c: int) -> int:
     return {31: 4, 62: 2}.get(c, 1)
 
 
+def _bounds_arr(bounds, h: int):
+    """(1, 2) int32 [lo, hi) valid-row bounds operand for the SMEM slot.
+
+    ``bounds=None`` means the whole array is the image ([0, h), the
+    single-device case). Under spatial sharding (parallel/fused_shard.py)
+    each device runs these kernels on a halo-extended local band whose
+    valid-image rows are a traced sub-range: rows outside [lo, hi) are
+    beyond the GLOBAL image and must behave exactly like the zero padding
+    the unsharded kernels apply at rows <0 / >=h."""
+    if bounds is None:
+        return jnp.asarray([[0, h]], jnp.int32)
+    lo, hi = bounds
+    return jnp.stack(
+        [jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32)]
+    ).reshape(1, 2)
+
+
+def _bounds_spec():
+    return pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
 def _shift_px(x3, delta: int, c: int, p: int):
     """Shift the pixel axis of a packed (R, Wq, P*C) array by one pixel with
     zero fill at the row ends: delta=+1 -> out[x] = in[x-1]; delta=-1 ->
@@ -260,18 +281,19 @@ def _attn_blockdiag(g_p, sq_p, sk_p, rescale, heads, c):
 
 def _apply_kernel(
     x_ref, m0_ref, wa_ref, bp_ref, m2_ref, mavg_ref,
-    lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, o_ref, a_scr, b_scr,
+    lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, b_ref, o_ref, a_scr, b_scr,
     *, t, wq_n, c, p, h,
 ):
     pc = p * c
     c4 = 4 * c
     i = pl.program_id(0)
+    lo, hi = b_ref[0, 0], b_ref[0, 1]  # valid-row bounds (==0, h unsharded)
     cur = x_ref[...]  # input block min(i, n-1)
     ti = i - 1  # output tile index (lag-1 emission)
 
     win = jnp.concatenate([b_scr[...], a_scr[...], cur[:3]], axis=0)  # (T+6, Wq, PC)
     gi = ti * t - 3 + jax.lax.broadcasted_iota(jnp.int32, (t + 6, 1, 1), 0)
-    win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
+    win = jnp.where((gi >= lo) & (gi < hi), win, 0.0)
 
     # carry update (read-before-write order matters: win is materialized)
     b_scr[...] = a_scr[t - 3 :]
@@ -293,7 +315,7 @@ def _apply_kernel(
     # zero-pad parity: the inner pos_emb conv has no output beyond the
     # image; the outer conv zero-pads there — mask rows outside [0, H).
     gig = ti * t - 2 + jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0)
-    g1 = jnp.where((gig >= 0) & (gig < h), g1, 0.0)
+    g1 = jnp.where((gig >= lo) & (gig < hi), g1, 0.0)
     nbrg = _nbr(g1)
     pos = None
     for dy in range(3):
@@ -323,7 +345,7 @@ def _apply_kernel(
     # hidden (the dominant VPU cost of this kernel: measured 13.1 -> the
     # planar form at L0 full-res).
     gih = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
-    hmask = (gih >= 0) & (gih < h)
+    hmask = (gih >= lo) & (gih < hi)
     hs = []
     for po in range(p):
         hp = _gelu(_dot(y, w0_ref[po])).reshape(t + 2, wq_n, c4)
@@ -356,7 +378,7 @@ def _apply_kernel(
     o_ref[...] = out.reshape(t, wq_n, pc) + res1[1 : t + 1]
 
 
-def _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
+def _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p, bounds=None):
     h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     n = -(-h // t)
     return pl.pallas_call(
@@ -374,6 +396,7 @@ def _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
             pl.BlockSpec((p, pc, 4 * c), lambda i: (0, 0, 0)),
             pl.BlockSpec((9, 4 * c), lambda i: (0, 0)),
             pl.BlockSpec((p, 4 * c, pc), lambda i: (0, 0, 0)),
+            _bounds_spec(),
         ],
         out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, wq_n, pc), jnp.float32),
@@ -383,7 +406,7 @@ def _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4)
+    )(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, _bounds_arr(bounds, h))
 
 
 def _pos_mats(wv, pk0, pk2, c: int, p: int):
@@ -576,13 +599,14 @@ def _stats_outs(pc):
     return specs, shapes
 
 
-def _conv3_compute(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
+def _conv3_compute(x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
     i = pl.program_id(0)
+    lo, hi = b_ref[0, 0], b_ref[0, 1]
     cur = x_ref[...]
     ti = i - 1
     win = jnp.concatenate([b_scr[...], a_scr[...], cur[:1]], axis=0)  # (T+2,)
     gi = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
-    win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
+    win = jnp.where((gi >= lo) & (gi < hi), win, 0.0)
     b_scr[...] = a_scr[t - 1 :]
     a_scr[...] = cur
     nbrw = _nbr(win)
@@ -595,30 +619,45 @@ def _conv3_compute(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
     return out
 
 
-def _conv3_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
-    _conv3_compute(x_ref, m_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h=h)
+def _conv3_kernel(x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
+    _conv3_compute(x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h=h)
+
+
+def _conv3_res_kernel(x_ref, m_ref, b_ref, r_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h):
+    """conv3 + residual add fused: out = conv(x) + r. r is tiled like the
+    output (lag-1), so the standalone XLA add pass — a full read+read+write
+    of the frame per stage residual, ~5 ms at 1080p L0 on the measured
+    ~150 GB/s effective HBM path — disappears into this kernel's walk."""
+    _conv3_compute(x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h=h)
+    o_ref[...] += r_ref[...]
 
 
 def _conv3_stats_kernel(
-    x_ref, m_ref, wq_ref, wk_ref, o_ref, g_ref, sq_ref, sk_ref, a_scr, b_scr,
+    x_ref, m_ref, wq_ref, wk_ref, b_ref, o_ref, g_ref, sq_ref, sk_ref, a_scr, b_scr,
     *, t, wq_n, pc, h,
 ):
-    out = _conv3_compute(x_ref, m_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h=h)
+    out = _conv3_compute(
+        x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h=h
+    )
     ti = pl.program_id(0) - 1
     go = ti * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
     valid = jnp.where(go < h, out.reshape(t, wq_n, pc), 0.0)
     _accum_stats(valid, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, first=1)
 
 
-def packed_conv3x3(xp, w, c: int, p: int, t: int = 16, stats_w=None):
+def packed_conv3x3(xp, w, c: int, p: int, t: int = 16, stats_w=None, bounds=None,
+                   residual=None):
     """Same-resolution 3x3 conv (zero pad, no bias) on a packed array.
 
     ``stats_w=(wq_p, wk_p)`` additionally returns the following MSAB's
-    attention stats of the OUTPUT: (out, g, sq, sk)."""
+    attention stats of the OUTPUT: (out, g, sq, sk). ``residual`` (same
+    shape as xp) is added to the output inside the kernel — the MST stage
+    / conv_out global residuals without a standalone full-frame add pass."""
     h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     t = max(2, min(t, h))
     n = -(-h // t)
     mats = _conv3_mats(w, c, p)
+    barr = _bounds_arr(bounds, h)
     in_specs = [
         pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
         pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
@@ -630,17 +669,33 @@ def packed_conv3x3(xp, w, c: int, p: int, t: int = 16, stats_w=None):
         pltpu.VMEM((1, wq_n, pc), jnp.float32),
     ]
     params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
-    if stats_w is None:
+    if residual is not None:
+        assert stats_w is None, "residual+stats not combined anywhere"
         return pl.pallas_call(
-            functools.partial(_conv3_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
+            functools.partial(_conv3_res_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
             grid=(n + 1,),
-            in_specs=in_specs,
+            in_specs=in_specs
+            + [
+                _bounds_spec(),
+                pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+            ],
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=params,
             interpret=_interpret(),
-        )(xp, mats)
+        )(xp, mats, barr, residual)
+    if stats_w is None:
+        return pl.pallas_call(
+            functools.partial(_conv3_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
+            grid=(n + 1,),
+            in_specs=in_specs + [_bounds_spec()],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(xp, mats, barr)
     sspecs, sshapes = _stats_outs(pc)
     return pl.pallas_call(
         functools.partial(_conv3_stats_kernel, t=t, wq_n=wq_n, pc=pc, h=h),
@@ -649,23 +704,25 @@ def packed_conv3x3(xp, w, c: int, p: int, t: int = 16, stats_w=None):
         + [
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            _bounds_spec(),
         ],
         out_specs=[out_spec] + sspecs,
         out_shape=[out_shape] + sshapes,
         scratch_shapes=scratch,
         compiler_params=params,
         interpret=_interpret(),
-    )(xp, mats, stats_w[0], stats_w[1])
+    )(xp, mats, stats_w[0], stats_w[1], barr)
 
 
-def _down4_compute(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
+def _down4_compute(x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
     # out block of T rows consumes in rows [2*ti*T - 1, 2*ti*T + 2T + 2)
     i = pl.program_id(0)
+    lo, hi = b_ref[0, 0], b_ref[0, 1]  # bounds in INPUT row coords
     cur = x_ref[...]  # (2T, Wq, PC) input block i
     ti = i - 1
     win = jnp.concatenate([b_scr[...], a_scr[...], cur[:2]], axis=0)  # (2T+3,)
     gi = 2 * ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (2 * t + 3, 1, 1), 0)
-    win = jnp.where((gi >= 0) & (gi < h_in), win, 0.0)
+    win = jnp.where((gi >= lo) & (gi < hi), win, 0.0)
     b_scr[...] = a_scr[2 * t - 1 :]
     a_scr[...] = cur
     # out local row r <- in win rows 2r+dy; win2[r + dy//2, dy%2] == win[2r+dy]
@@ -679,30 +736,36 @@ def _down4_compute(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
     return out
 
 
-def _down4_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
-    _down4_compute(x_ref, m_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h_in=h_in)
+def _down4_kernel(x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, *, t, wq_n, pc, h_in):
+    _down4_compute(
+        x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h_in=h_in
+    )
 
 
 def _down4_stats_kernel(
-    x_ref, m_ref, wq_ref, wk_ref, o_ref, g_ref, sq_ref, sk_ref, a_scr, b_scr,
+    x_ref, m_ref, wq_ref, wk_ref, b_ref, o_ref, g_ref, sq_ref, sk_ref, a_scr, b_scr,
     *, t, wq_n, pc, h_in,
 ):
-    out = _down4_compute(x_ref, m_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h_in=h_in)
+    out = _down4_compute(
+        x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, t=t, wq_n=wq_n, pc=pc, h_in=h_in
+    )
     ti = pl.program_id(0) - 1
     go = ti * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
     valid = jnp.where(go < h_in // 2, out.reshape(t, wq_n, pc), 0.0)
     _accum_stats(valid, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, first=1)
 
 
-def packed_down4x4(xp, w, c: int, p: int, t: int = 8, stats_w=None):
+def packed_down4x4(xp, w, c: int, p: int, t: int = 8, stats_w=None, bounds=None):
     """Stride-2 4x4 conv (zero pad 1, no bias) C -> 2C: packed (H, Wq, PC)
     -> packed (H/2, Wq, PC) with the output pack holding P/2 pixels x 2C.
-    ``stats_w=(wq_p, wk_p)`` also returns (out, g, sq, sk) of the output."""
+    ``stats_w=(wq_p, wk_p)`` also returns (out, g, sq, sk) of the output.
+    ``bounds`` is in INPUT row coordinates."""
     h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     h_out = h // 2
     t = max(1, min(t, h_out))
     n = -(-h_out // t)
     mats = _down4_mats(w, c, p)
+    barr = _bounds_arr(bounds, h)
     in_specs = [
         pl.BlockSpec((2 * t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
         pl.BlockSpec((4, 3 * pc, pc), lambda i: (0, 0, 0)),
@@ -718,13 +781,13 @@ def packed_down4x4(xp, w, c: int, p: int, t: int = 8, stats_w=None):
         return pl.pallas_call(
             functools.partial(_down4_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
             grid=(n + 1,),
-            in_specs=in_specs,
+            in_specs=in_specs + [_bounds_spec()],
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=params,
             interpret=_interpret(),
-        )(xp, mats)
+        )(xp, mats, barr)
     sspecs, sshapes = _stats_outs(pc)
     return pl.pallas_call(
         functools.partial(_down4_stats_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
@@ -733,22 +796,24 @@ def packed_down4x4(xp, w, c: int, p: int, t: int = 8, stats_w=None):
         + [
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            _bounds_spec(),
         ],
         out_specs=[out_spec] + sspecs,
         out_shape=[out_shape] + sshapes,
         scratch_shapes=scratch,
         compiler_params=params,
         interpret=_interpret(),
-    )(xp, mats, stats_w[0], stats_w[1])
+    )(xp, mats, stats_w[0], stats_w[1], barr)
 
 
 def _up_fuse_compute(
-    f_ref, s_ref, mf_ref, bf_ref, ms_ref, o_ref, *, t, wq_n, pc, h_in
+    f_ref, s_ref, mf_ref, bf_ref, ms_ref, b_ref, o_ref, *, t, wq_n, pc, h_in
 ):
     i = pl.program_id(0)
+    lo, hi = b_ref[0, 0], b_ref[0, 1]  # bounds in INPUT (fea) row coords
     fea = f_ref[...]  # (t, wq, pc)
     gi = i * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
-    fea = jnp.where(gi < h_in, fea, 0.0)
+    fea = jnp.where((gi >= lo) & (gi < hi), fea, 0.0)
     flat = fea.reshape(t * wq_n, pc)
     rows = [
         (_dot(flat, mf_ref[dy]) + bf_ref[dy]).reshape(t, 1, wq_n, pc)
@@ -757,30 +822,37 @@ def _up_fuse_compute(
     up = jnp.concatenate(rows, axis=1).reshape(2 * t, wq_n, pc)
     skip = s_ref[...]
     gi2 = 2 * i * t + jax.lax.broadcasted_iota(jnp.int32, (2 * t, 1, 1), 0)
-    skip = jnp.where(gi2 < 2 * h_in, skip, 0.0)
+    m2 = (gi2 >= 2 * lo) & (gi2 < 2 * hi)
+    skip = jnp.where(m2, skip, 0.0)
     out = up + _dot(skip.reshape(2 * t * wq_n, pc), ms_ref[...]).reshape(
         2 * t, wq_n, pc
     )
     o_ref[...] = out
-    return jnp.where(gi2 < 2 * h_in, out, 0.0)
+    return jnp.where(m2, out, 0.0)
 
 
-def _up_fuse_kernel(f_ref, s_ref, mf_ref, bf_ref, ms_ref, o_ref, *, t, wq_n, pc, h_in):
-    _up_fuse_compute(f_ref, s_ref, mf_ref, bf_ref, ms_ref, o_ref, t=t, wq_n=wq_n, pc=pc, h_in=h_in)
+def _up_fuse_kernel(
+    f_ref, s_ref, mf_ref, bf_ref, ms_ref, b_ref, o_ref, *, t, wq_n, pc, h_in
+):
+    _up_fuse_compute(
+        f_ref, s_ref, mf_ref, bf_ref, ms_ref, b_ref, o_ref,
+        t=t, wq_n=wq_n, pc=pc, h_in=h_in,
+    )
 
 
 def _up_fuse_stats_kernel(
-    f_ref, s_ref, mf_ref, bf_ref, ms_ref, wq_ref, wk_ref,
+    f_ref, s_ref, mf_ref, bf_ref, ms_ref, wq_ref, wk_ref, b_ref,
     o_ref, g_ref, sq_ref, sk_ref, *, t, wq_n, pc, h_in,
 ):
     valid = _up_fuse_compute(
-        f_ref, s_ref, mf_ref, bf_ref, ms_ref, o_ref, t=t, wq_n=wq_n, pc=pc, h_in=h_in
+        f_ref, s_ref, mf_ref, bf_ref, ms_ref, b_ref, o_ref,
+        t=t, wq_n=wq_n, pc=pc, h_in=h_in,
     )
     _accum_stats(valid, wq_ref, wk_ref, g_ref, sq_ref, sk_ref, first=0)
 
 
 def packed_up_fuse(fea, skip, up_kernel, up_bias, fuse_kernel, c: int, p: int,
-                   t: int = 8, stats_w=None):
+                   t: int = 8, stats_w=None, bounds=None):
     """Decoder level glue as ONE kernel: 1x1 up-conv to 4x channels,
     depth-to-space (folded into the per-row-stream matmuls mf[dy]), and the
     1x1 fuse over [upsampled | skip] (sum of two matmuls by linearity) —
@@ -814,6 +886,7 @@ def packed_up_fuse(fea, skip, up_kernel, up_bias, fuse_kernel, c: int, p: int,
     bf = jnp.stack(bf_rows).reshape(2, 1, pc)
     t = max(1, min(t, h))
     n = -(-h // t)
+    barr = _bounds_arr(bounds, h)
     in_specs = [
         pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
         pl.BlockSpec((2 * t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
@@ -828,12 +901,12 @@ def packed_up_fuse(fea, skip, up_kernel, up_bias, fuse_kernel, c: int, p: int,
         return pl.pallas_call(
             functools.partial(_up_fuse_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
             grid=(n,),
-            in_specs=in_specs,
+            in_specs=in_specs + [_bounds_spec()],
             out_specs=out_spec,
             out_shape=out_shape,
             compiler_params=params,
             interpret=_interpret(),
-        )(fea, skip, mf, bf, m_s)
+        )(fea, skip, mf, bf, m_s, barr)
     sspecs, sshapes = _stats_outs(pc)
     return pl.pallas_call(
         functools.partial(_up_fuse_stats_kernel, t=t, wq_n=wq_n, pc=pc, h_in=h),
@@ -842,12 +915,13 @@ def packed_up_fuse(fea, skip, up_kernel, up_bias, fuse_kernel, c: int, p: int,
         + [
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
+            _bounds_spec(),
         ],
         out_specs=[out_spec] + sspecs,
         out_shape=[out_shape] + sshapes,
         compiler_params=params,
         interpret=_interpret(),
-    )(fea, skip, mf, bf, m_s, stats_w[0], stats_w[1])
+    )(fea, skip, mf, bf, m_s, stats_w[0], stats_w[1], barr)
 
 
 def attn_stats_weights(attn_w, c: int, p: int):
@@ -860,11 +934,13 @@ def attn_stats_weights(attn_w, c: int, p: int):
     )
 
 
-def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p, stats=None):
+def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p, stats=None, bounds=None):
     """One MSAB block on an already-packed (H, Wq, P*C) array.
 
     ``stats=(g, sq, sk)`` skips the pass-A kernel: the producer of ``xp``
-    already accumulated the attention stats (attn_stats_weights)."""
+    already accumulated the attention stats (attn_stats_weights).
+    ``bounds=(lo, hi)`` marks the valid-image rows when xp is a
+    halo-extended shard band (parallel/fused_shard.py)."""
     eye = jnp.eye(p, dtype=jnp.float32)
     kron = lambda m: jnp.kron(eye, m.astype(jnp.float32))
     tile = lambda v, reps: jnp.tile(v.astype(jnp.float32).reshape(1, -1), (1, reps))
@@ -886,10 +962,11 @@ def msab_packed(xp, attn_w, ln_w, ffn_w, *, heads, c, p, stats=None):
         g_p, sq_p, sk_p = stats
     abd = _attn_blockdiag(g_p, sq_p, sk_p, attn_w["rescale"], heads, c)
     wa_p = kron(attn_w["to_v"].astype(jnp.float32) @ abd @ attn_w["proj_kernel"].astype(jnp.float32))
-    return _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p)
+    return _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p,
+                  bounds=bounds)
 
 
-def mst_stage_packed(xp, sw, dim: int = 31):
+def mst_stage_packed(xp, sw, dim: int = 31, shard=None):
     """One MST stage (MST_Plus_Plus.py:188-268) entirely on packed arrays:
     embedding conv -> encoder (MSAB + stride-2 down) x2 -> bottleneck MSAB
     -> decoder (fused up+depth-to-space+fuse kernel + MSAB) x2 -> mapping
@@ -898,24 +975,59 @@ def mst_stage_packed(xp, sw, dim: int = 31):
     Every producer kernel (embedding conv, downsamples, up+fuse) rides the
     FOLLOWING MSAB's pass-A attention stats on its own grid walk, so no
     standalone stats kernel re-reads the frame; only 2nd+ MSABs of a
-    multi-block level (MST variants) fall back to the stats kernel."""
+    multi-block level (MST variants) fall back to the stats kernel.
+
+    ``shard`` (parallel/fused_shard.py) runs the stage on a halo-extended
+    local H-band of a spatially sharded frame: a dict with
+
+    - ``bounds``: (lo, hi) valid-image rows of the band in L0 coords
+      (traced; rows outside behave as the global zero pad),
+    - ``own``: (olo, ohi) STATIC L0 rows this device owns (the
+      non-overlapping partition — attention stats are computed on exactly
+      these rows and psum'd so every device sees the global Gram),
+    - ``axis``: mesh axis name (or tuple) to psum stats over.
+
+    In shard mode producers do not ride stats (their band includes halo
+    rows that neighbors also compute — riding would double-count)."""
     c0 = dim
     p0 = _pack_of(c0)
+    sharded = shard is not None
+    if sharded:
+        lo0, hi0 = shard["bounds"]
+        olo0, ohi0 = shard["own"]
+        axis = shard["axis"]
+
+    def bnd(lvl):
+        if not sharded:
+            return None
+        return (lo0 // (1 << lvl), hi0 // (1 << lvl))
 
     def _first_stats(blocks, c, p):
-        return attn_stats_weights(blocks[0]["attn"], c, p) if blocks else None
+        if sharded or not blocks:
+            return None
+        return attn_stats_weights(blocks[0]["attn"], c, p)
 
-    def _run_msabs(fea, blocks, c, p, stats):
+    def _shard_stats(fea, attn_w, c, p, lvl):
+        olo, ohi = olo0 >> lvl, ohi0 >> lvl
+        wq_p, wk_p = attn_stats_weights(attn_w, c, p)
+        own = fea[olo:ohi]
+        g, sq, sk = _attn_stats(own, wq_p, wk_p, _pick_t(int(own.shape[0]), c))
+        return jax.lax.psum((g, sq, sk), axis)
+
+    def _run_msabs(fea, blocks, c, p, lvl, stats):
         for bi, blk in enumerate(blocks):
+            st = stats if bi == 0 else None
+            if st is None and sharded:
+                st = _shard_stats(fea, blk["attn"], c, p, lvl)
             fea = msab_packed(fea, blk["attn"], blk["ln"], blk["ffn"],
-                              heads=c // dim, c=c, p=p,
-                              stats=stats if bi == 0 else None)
+                              heads=c // dim, c=c, p=p, stats=st,
+                              bounds=bnd(lvl))
         return fea
 
-    c, p = c0, p0
+    c, p, lvl = c0, p0, 0
     res = packed_conv3x3(
         xp, sw["embedding"], c0, p0,
-        stats_w=_first_stats(sw["enc"][0]["msab"], c, p),
+        stats_w=_first_stats(sw["enc"][0]["msab"], c, p), bounds=bnd(0),
     )
     if isinstance(res, (tuple, list)):
         fea, *st = res
@@ -924,38 +1036,40 @@ def mst_stage_packed(xp, sw, dim: int = 31):
 
     skips = []
     for li, enc in enumerate(sw["enc"]):
-        fea = _run_msabs(fea, enc["msab"], c, p, tuple(st) if st else None)
-        skips.append((fea, c, p))
+        fea = _run_msabs(fea, enc["msab"], c, p, lvl, tuple(st) if st else None)
+        skips.append((fea, c, p, lvl))
         nxt_blocks = (
             sw["enc"][li + 1]["msab"] if li + 1 < len(sw["enc"])
             else sw["bottleneck"]["msab"]
         )
         nc, npp = c * 2, p // 2
         res = packed_down4x4(fea, enc["down"], c, p,
-                             stats_w=_first_stats(nxt_blocks, nc, npp))
+                             stats_w=_first_stats(nxt_blocks, nc, npp),
+                             bounds=bnd(lvl))
         if isinstance(res, (tuple, list)):
             fea, *st = res
         else:
             fea, st = res, []
-        c, p = nc, npp
+        c, p, lvl = nc, npp, lvl + 1
 
-    fea = _run_msabs(fea, sw["bottleneck"]["msab"], c, p, tuple(st) if st else None)
+    fea = _run_msabs(
+        fea, sw["bottleneck"]["msab"], c, p, lvl, tuple(st) if st else None
+    )
 
-    for dec, (skip, cs, ps) in zip(sw["dec"], reversed(skips)):
+    for dec, (skip, cs, ps, ls) in zip(sw["dec"], reversed(skips)):
         half = c // 2
         res = packed_up_fuse(
             fea, skip, dec["up_kernel"], dec["up_bias"], dec["fuse_kernel"],
-            c, p, stats_w=_first_stats(dec["msab"], cs, ps),
+            c, p, stats_w=_first_stats(dec["msab"], cs, ps), bounds=bnd(lvl),
         )
         if isinstance(res, (tuple, list)):
             fea, *st = res
         else:
             fea, st = res, []
-        c, p = half, 2 * p
-        fea = _run_msabs(fea, dec["msab"], c, p, tuple(st) if st else None)
+        c, p, lvl = half, 2 * p, ls
+        fea = _run_msabs(fea, dec["msab"], c, p, lvl, tuple(st) if st else None)
 
-    out = packed_conv3x3(fea, sw["mapping"], c0, p0)
-    return out + xp
+    return packed_conv3x3(fea, sw["mapping"], c0, p0, bounds=bnd(0), residual=xp)
 
 
 def _conv3_mats_io(w, cin: int, cout: int, p: int):
@@ -975,13 +1089,14 @@ def _conv3_mats_io(w, cin: int, cout: int, p: int):
     return jnp.stack(mats)
 
 
-def _conv3_io_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pci, pco, h):
+def _conv3_io_kernel(x_ref, m_ref, b_ref, o_ref, a_scr, b_scr, *, t, wq_n, pci, pco, h):
     i = pl.program_id(0)
+    lo, hi = b_ref[0, 0], b_ref[0, 1]
     cur = x_ref[...]
     ti = i - 1
     win = jnp.concatenate([b_scr[...], a_scr[...], cur[:1]], axis=0)
     gi = ti * t - 1 + jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0)
-    win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
+    win = jnp.where((gi >= lo) & (gi < hi), win, 0.0)
     b_scr[...] = a_scr[t - 1 :]
     a_scr[...] = cur
     nbrw = _nbr(win)
@@ -993,7 +1108,7 @@ def _conv3_io_kernel(x_ref, m_ref, o_ref, a_scr, b_scr, *, t, wq_n, pci, pco, h)
     o_ref[...] = out.reshape(t, wq_n, pco)
 
 
-def packed_conv3x3_io(xp, w, cin: int, cout: int, p: int, t: int = 16):
+def packed_conv3x3_io(xp, w, cin: int, cout: int, p: int, t: int = 16, bounds=None):
     """Same-resolution 3x3 conv Cin -> Cout on packed arrays: (H, Wq, P*Cin)
     -> (H, Wq, P*Cout). Used for conv_in (3 -> 31): the raw RGB frame views
     packed for free and feat is born packed — no XLA conv, no relayout."""
@@ -1008,6 +1123,7 @@ def packed_conv3x3_io(xp, w, cin: int, cout: int, p: int, t: int = 16):
         in_specs=[
             pl.BlockSpec((t, wq_n, pci), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
             pl.BlockSpec((3, 3 * pci, pco), lambda i: (0, 0, 0)),
+            _bounds_spec(),
         ],
         out_specs=pl.BlockSpec((t, wq_n, pco), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, wq_n, pco), jnp.float32),
@@ -1017,4 +1133,4 @@ def packed_conv3x3_io(xp, w, cin: int, cout: int, p: int, t: int = 16):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, mats)
+    )(xp, mats, _bounds_arr(bounds, h))

@@ -71,8 +71,43 @@ def param_specs(params) -> dict:
 
 
 def sharded_inference_fn(mesh: Mesh, module, variables):
-    """jit the module's apply with dp x sp activation sharding and tp param
-    sharding; GSPMD inserts the ICI collectives (conv halos, psums)."""
+    """Sharded inference on the mesh.
+
+    For MSTPlusPlus-shaped inputs the fused Pallas megakernel pipeline runs
+    per H-band under shard_map with halo recompute and psum'd attention
+    stats (parallel/fused_shard.py) — the packed pipeline's full-res speedup
+    survives sharding. Frames whose shapes don't band-split (or non-MST
+    modules) take the GSPMD path: dp x sp activation sharding + tp param
+    sharding, XLA inserting the ICI collectives (conv halos, psums)."""
+    from animal_vision_tpu.models.mst_plus_plus import MSTPlusPlus, _use_fused_msab
+    from animal_vision_tpu.parallel import fused_shard
+
+    fused_capable = (
+        isinstance(module, MSTPlusPlus)
+        and module.n_feat == 31
+        and module.out_channels == 31
+        and module.in_channels == 3
+    )
+
+    xla_run = _xla_sharded_inference_fn(mesh, module, variables)
+
+    def run(x):
+        b, h, w = int(x.shape[0]), int(x.shape[1]), int(x.shape[2])
+        if (
+            fused_capable
+            and _use_fused_msab(h * w)
+            and fused_shard.supports(mesh, b, h, w)
+        ):
+            return fused_shard.fused_sharded_forward(mesh, variables, x)
+        return xla_run(x)
+
+    return run
+
+
+def _xla_sharded_inference_fn(mesh: Mesh, module, variables):
+    """GSPMD fallback: the fused kernels are single-device Pallas programs
+    GSPMD cannot partition, so this trace disables them (no_fused_ffn) and
+    lets XLA shard the plain composition."""
     from jax.sharding import NamedSharding
 
     var_specs = jax.tree_util.tree_map(
@@ -87,7 +122,7 @@ def sharded_inference_fn(mesh: Mesh, module, variables):
     def run(x):
         from animal_vision_tpu.models.mst_plus_plus import no_fused_ffn
 
-        with no_fused_ffn():  # the fused FFN kernel is not GSPMD-partitionable
+        with no_fused_ffn():
             return module.apply(placed, x)
 
     return lambda x: run(jax.device_put(x, act))

@@ -90,3 +90,26 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 128, 128, 31)
+
+
+def test_fused_sharded_inference_matches_xla(monkeypatch):
+    """parallel/fused_shard.py: the fused megakernel pipeline under
+    shard_map (halo-recompute bands + psum'd attention stats) must match
+    the unsharded XLA composition. sp=2 x tp=2 exercises the tp-folds-
+    into-spatial-axis path (4 H-bands) and dp=2 batches."""
+    monkeypatch.setenv("ANIMAL_VISION_FUSED_MSAB", "interpret")
+    from animal_vision_tpu.models.mst_plus_plus import no_fused_ffn
+    from animal_vision_tpu.models.zoo import model_generator
+    from animal_vision_tpu.parallel import make_mesh
+    from animal_vision_tpu.parallel.fused_shard import fused_sharded_forward, supports
+
+    module, variables = model_generator("mst_plus_plus")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 48, 3)).astype(np.float32))
+    mesh = make_mesh(jax.devices(), sp=2, tp=2)
+    assert supports(mesh, 2, 32, 48)
+    got = np.asarray(fused_sharded_forward(mesh, variables, x))
+    with no_fused_ffn():
+        want = np.asarray(module.apply(variables, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3)
