@@ -50,6 +50,34 @@ def _warp_cols_matrix(w: int, scale_x: float) -> np.ndarray:
     return m[start : start + w]
 
 
+def _integrate_maps(lin: jnp.ndarray, g, wmat) -> jnp.ndarray:
+    """relu(lin @ G) @ W — the analytic cube contracted to band maps.
+
+    For large band counts the two einsums materialize the (H, W, B) cube in
+    HBM (rat_uv: 129 bands at 0.55 scale ≈ 324 MB per direction). The planar
+    form keeps the cube as an elementwise producer that XLA input-fuses into
+    each map's reduction, so it is recomputed per map instead of
+    round-tripping HBM (2.46 -> 1.47 ms at rat_uv's 594x1056 B=129 point,
+    tools/exp_hsi_maps.py). Small cubes keep the matmuls (equal speed,
+    bitwise-stable against the existing goldens)."""
+    g = jnp.asarray(g)
+    wmat = jnp.asarray(wmat)
+    nb, nm = int(g.shape[1]), int(wmat.shape[1])
+    if nb <= 100:
+        cube = jnp.einsum("...c,cb->...b", lin, g, precision="highest")
+        cube = jnp.maximum(cube, 0.0)
+        return jnp.einsum("...b,bn->...n", cube, wmat, precision="highest")
+    planes = jnp.moveaxis(lin, -1, 0)
+    cube = jnp.maximum(
+        g[0][:, None, None] * planes[0]
+        + g[1][:, None, None] * planes[1]
+        + g[2][:, None, None] * planes[2],
+        0.0,
+    )  # (B, H, W) — never materialized: fused into the reduces below
+    maps = [jnp.sum(cube * wmat[:, n][:, None, None], axis=0) for n in range(nm)]
+    return jnp.stack(maps, axis=-1)
+
+
 def compute_band_maps(
     frame: jnp.ndarray,
     lambdas: np.ndarray,
@@ -75,9 +103,7 @@ def compute_band_maps(
 
     def maps_of(x):
         lin = color.srgb_to_linear(x.astype(jnp.float32))
-        cube = jnp.einsum("...c,cb->...b", lin, jnp.asarray(g), precision="highest")
-        cube = jnp.maximum(cube, 0.0)
-        return jnp.einsum("...b,bn->...n", cube, jnp.asarray(wmat), precision="highest")
+        return _integrate_maps(lin, g, wmat)
 
     h, w = int(frame.shape[0]), int(frame.shape[1])
     if 0.0 < hsi_scale < 1.0:
@@ -136,9 +162,7 @@ class UVAnimal(Animal):
 
         def maps_of(x):
             lin = color.srgb_to_linear(x.astype(jnp.float32))
-            cube = jnp.einsum("...c,cb->...b", lin, jnp.asarray(g), precision="highest")
-            cube = jnp.maximum(cube, 0.0)
-            return jnp.einsum("...b,bn->...n", cube, jnp.asarray(cols), precision="highest")
+            return _integrate_maps(lin, g, cols)
 
         def fn(image):
             img01 = color.to_float01(image)
