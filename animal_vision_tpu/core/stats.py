@@ -95,6 +95,63 @@ def _f32_to_order(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(bits >> 31 == 0, bits | jnp.uint32(0x80000000), ~bits)
 
 
+def _reduce_axes_for(shape) -> tuple | None:
+    """Reduction axes for the inline counting passes: all but the longest
+    axis, so each per-position partial count is a small exact integer in
+    f32 (<= 2^22 << 2^24). None -> use the ravel-to-(128, X) fallback
+    (1-D or degenerate shapes)."""
+    if len(shape) < 2:
+        return None
+    sizes = [int(s) for s in shape]
+    longest = max(range(len(sizes)), key=lambda i: sizes[i])
+    others = 1
+    for i, s in enumerate(sizes):
+        if i != longest:
+            others *= s
+    if others < 2 or others > (1 << 22):
+        return None
+    return tuple(i for i in range(len(sizes)) if i != longest)
+
+
+def _inline_keys(x: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """Total-order keys as a FUSED producer (bitcast + one where): unlike
+    the materialized _order_keys_1d path, these 2 cheap VPU ops recompute
+    inside every counting pass's read, avoiding the 83 MB r+w key
+    materialization AND the moveaxis relayout entirely (measured 4.2 ->
+    2.9 ms on the mantis (1080, 1920, 10) stack, tools/exp_pct13.py).
+    Sibling reduction fusion survives an elementwise producer — the
+    pathology _order_keys_1d documents is specific to transpose/reshape
+    producers."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    u = jnp.where(bits >> 31 == 0, bits | jnp.uint32(0x80000000), ~bits)
+    if valid is not None:
+        u = jnp.where(valid, u, jnp.uint32(0xFFFFFFFF))
+    return u
+
+
+def _kth_from_inline(u: jnp.ndarray, axes: tuple, kidx) -> jnp.ndarray:
+    """Radix-16 selection over the inline key array ``u`` in its natural
+    layout: 16 sibling f32 where-sums per pass, reduced over ``axes``
+    (exact small-integer partials), finished in int32. Histogram — and the
+    selected order statistic — is bit-identical to _kth_order_stat."""
+    lo = jnp.uint32(0)
+    nb = jnp.int32(0)
+    for i in range(8):
+        sh = jnp.uint32(28 - 4 * i)
+        idx = (u - lo) >> sh
+        sums = [
+            jnp.sum(jnp.where(idx == jnp.uint32(b), 1.0, 0.0), axis=axes)
+            for b in range(16)
+        ]
+        sums = list(jax.lax.optimization_barrier(tuple(sums)))
+        hist = jnp.stack([jnp.sum(s.astype(jnp.int32)) for s in sums])
+        cum = jnp.cumsum(hist)
+        j = jnp.sum((cum <= kidx - nb).astype(jnp.int32))
+        nb = nb + jnp.where(j > 0, cum[jnp.maximum(j - 1, 0)], 0)
+        lo = lo + (j.astype(jnp.uint32) << sh)
+    return lo
+
+
 def _order_keys_1d(x: jnp.ndarray, valid=None) -> jnp.ndarray:
     """Compact 1-D total-order keys of ``x``, materialized behind an
     optimization barrier.
@@ -159,14 +216,24 @@ def _tpu_percentile_unbatched(x, q: float):
     v = (n - 1) * float(q) / 100.0
     k0 = int(v)
     frac = v - k0
-    u = _order_keys_1d(x)
-    o0 = _kth_order_stat(u, k0)
+    axes = _reduce_axes_for(x.shape)
+    if axes is not None:
+        u = _inline_keys(x)
+        o0 = _kth_from_inline(u, axes, k0)
+    else:
+        u = _order_keys_1d(x)
+        o0 = _kth_order_stat(u, k0)
     val0 = _order_to_f32(o0)
     if frac == 0.0 or k0 + 1 >= n:
         return val0
     # next order stat: min over values strictly greater, unless duplicates
     # of val0 extend past k0+1.
-    cnt0 = jnp.sum((u <= o0).astype(jnp.int32))
+    if axes is not None:
+        cnt0 = jnp.sum(
+            jnp.sum(jnp.where(u <= o0, 1.0, 0.0), axis=axes).astype(jnp.int32)
+        )
+    else:
+        cnt0 = jnp.sum((u <= o0).astype(jnp.int32))
     bigger = jnp.where(u > o0, u, jnp.uint32(0xFFFFFFFF))
     val1 = _order_to_f32(jnp.min(bigger))
     val1 = jnp.where(cnt0 >= k0 + 2, val0, val1)
@@ -263,7 +330,12 @@ def _pct_tpu(q: float):
         (xb,) = in_batched
         if not xb:
             return pct(x), False
-        return _tpu_percentile_batched(x, q), True
+        # lax.map of the fused-sweep unbatched form: inside a scan body the
+        # eight sibling f32 counting reductions DO multi-output-fuse (one
+        # array sweep per pass), unlike under direct vmap batching — 29.6 ->
+        # 25.4 ms for a (8, 1080, 1920, 10) stack (tools/exp_pct12.py). The
+        # packed-counter batched form is kept for reference/tests.
+        return jax.lax.map(lambda xi: _tpu_percentile_unbatched(xi, q), x), True
 
     return pct
 
@@ -303,10 +375,19 @@ def _percentile_masked(x: jnp.ndarray, valid: jnp.ndarray, n_valid, q: float):
         val0 = jnp.take(s, k0)
         val1 = jnp.take(s, jnp.minimum(k0 + 1, s.shape[0] - 1))
     else:
-        u = _order_keys_1d(x, valid)
-        o0 = _kth_order_stat(u, k0)
-        val0 = _order_to_f32(o0)
-        cnt0 = jnp.sum((u <= o0).astype(jnp.int32))
+        axes = _reduce_axes_for(x.shape)
+        if axes is not None:
+            u = _inline_keys(x, valid)
+            o0 = _kth_from_inline(u, axes, k0)
+            val0 = _order_to_f32(o0)
+            cnt0 = jnp.sum(
+                jnp.sum(jnp.where(u <= o0, 1.0, 0.0), axis=axes).astype(jnp.int32)
+            )
+        else:
+            u = _order_keys_1d(x, valid)
+            o0 = _kth_order_stat(u, k0)
+            val0 = _order_to_f32(o0)
+            cnt0 = jnp.sum((u <= o0).astype(jnp.int32))
         bigger = jnp.where(u > o0, u, jnp.uint32(0xFFFFFFFF))
         val1 = _order_to_f32(jnp.min(bigger))
         val1 = jnp.where(cnt0 >= k0 + 2, val0, val1)
