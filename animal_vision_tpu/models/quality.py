@@ -74,6 +74,32 @@ def eval_protocol_fixtures(
     return meval.validate(apply_fn, scenes, crop=128)
 
 
+PRETRAINED_DIR = os.path.join(os.path.dirname(__file__), "pretrained", "synth_v1")
+
+
+def load_pretrained():
+    """(module, params) for the shipped synthetic-curriculum checkpoint
+    (tools/train_synth.py output, a full 3-stage MST++), or None if the
+    checkpoint directory is absent."""
+    if not os.path.isdir(PRETRAINED_DIR):
+        return None
+    import orbax.checkpoint as ocp
+
+    from animal_vision_tpu.models.mst_plus_plus import MSTPlusPlus
+
+    # The saved arrays carry the writer's device in their sharding metadata;
+    # restore onto the local default device so the checkpoint loads on any
+    # backend (the CPU test mesh, the TPU bench, a CPU-only host).
+    ckpt = ocp.StandardCheckpointer()
+    md = ckpt.metadata(os.path.abspath(PRETRAINED_DIR)).item_metadata
+    here = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    target = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=here), md
+    )
+    state = ckpt.restore(os.path.abspath(PRETRAINED_DIR), target=target)
+    return MSTPlusPlus(), state["params"]
+
+
 def quality_report(steps: int = 40) -> dict:
     """The three driver-visible quality numbers, JSON-ready."""
     from animal_vision_tpu.models.mst_plus_plus import no_fused_ffn
@@ -86,6 +112,14 @@ def quality_report(steps: int = 40) -> dict:
         "convergence_psnr_final_db": round(demo["psnr_final"], 2),
         "convergence_psnr_gain_db": round(demo["psnr_final"] - demo["psnr_init"], 2),
     }
+
+    # eval protocol at real trained weights when the shipped checkpoint
+    # exists (VERDICT round-3 #6); the 40-step demo stays as the fallback
+    # so the phase never fails on a fresh tree.
+    pre = load_pretrained()
+    if pre is not None:
+        module, params = pre
+        out["eval_protocol_weights"] = "pretrained/synth_v1"
 
     if jax.default_backend() != "cpu":
         out["fused_vs_f32_psnr_db"] = round(fused_vs_f32_psnr(module, params), 2)
