@@ -20,10 +20,12 @@ the one *global* dependency, the spectral C x C Gram matrix:
   V = x Wv (with a 3-row halo), pos_emb = dw3(gelu(dw3(V))) (zero-pad
   parity with torch Conv2d), attention+proj (folded matmul), residual,
   LayerNorm, FFN (1x1 -> gelu -> 3x3 depthwise -> gelu -> 1x1) + residual
-  — all resident in VMEM; the (.., 4C) hidden never touches HBM. The halo
-  comes from a rolling carry: scratch A holds the previous input block,
-  scratch B the 3 rows before it, and the output is emitted with a
-  one-step lag — HBM traffic is exactly one read + one write of x.
+  — all resident in VMEM; the (.., 4C) hidden never touches HBM. The
+  3-row halo comes from two extra LAGGED REFS of the same input (blocks
+  ti-1 and ti+1 alongside ti), so tile ti is emitted directly at grid
+  step ti with no carry scratch, no copies, and no warmup step; the
+  pipeline refetches neighbor blocks from HBM (up to 3 reads + 1 write
+  of x), which hides completely under this VPU-bound kernel.
 
 **Pixel packing** (the key lane-utilization move): C=31 uses 31 of each
 128-lane vreg (24%) and drives matmuls at K=31 (6% MXU utilization). The
@@ -35,8 +37,9 @@ per-pixel mean becomes a kron(I_P, 1/C) matmul, and depthwise-conv pixel
 shifts become lane rotations with a cross-pack fix from the
 sublane-shifted neighbor.
 
-GELU uses the Abramowitz-Stegun 7.1.26 erf approximation (|err| <= 1.5e-7;
-Mosaic has no erf lowering) — far inside the 1e-3 torch-parity budget.
+GELU uses a degree-11 even/odd polynomial (|err| <= 1.7e-5, exact tails;
+Mosaic has no erf lowering) — far inside the 1e-3 torch-parity budget; the
+A&S 7.1.26 erf form is kept as _gelu_erf for reference.
 Matmuls run the backend's default precision (bf16 inputs, f32 accumulate),
 matching the XLA path's own einsum behavior; ANIMAL_VISION_MSAB_PRECISION=
 highest forces the f32 algorithm.
@@ -73,29 +76,37 @@ def _gelu_erf(x):
     return 0.5 * x * (1.0 + _erf(x * (1.0 / np.sqrt(2.0))))
 
 
-# Degree-14 Chebyshev fit (power basis in v = x^2/18 - 1) of
-# (Phi(x) - 0.5)/x on |x| <= 6; gelu(x) = x * (0.5 + clip(x) * g(v)).
-# Clamping x to [-6, 6] before the poly makes the tails exact by
-# construction (0.5 + 6 g(1) = 1, 0.5 - 6 g(1) = 0). Max |gelu err|
-# 2.9e-6 in float32 Horner over [-8, 8] — cheaper than the A&S erf
-# (15 fma vs divide + exp, both slow multi-cycle VPU ops): the three
-# gelu sites were the largest single cost of pass B (5.2 of 13.0 ms
-# at L0 full-res by ablation, tools/exp_passb_ablate.py).
+# Degree-11 Chebyshev fit (power basis in v = x^2/12.5 - 1) of
+# (Phi(x) - 0.5)/x on |x| <= 5; gelu(x) = x * (0.5 + clip(x) * g(v)).
+# Clamping x to [-5, 5] before the poly makes the tails exact by
+# construction (0.5 + 5 g(1) = 1); the true |gelu(x) - x| beyond the clip
+# is x*(1 - Phi(x)) <= 1.4e-6. Max |gelu err| measured 1.66e-5 in float32
+# over [-8, 8] — the narrower clip range buys ~2 polynomial
+# degrees over the previous |x| <= 6 basis (deg-14 at 2.9e-6 -> deg-11 at
+# 1.66e-5, still far inside the <5e-4 fused-parity budget). Evaluated
+# even/odd: two parallel Horner chains of depth 6 over w = v*v instead of
+# one serial chain of 11 — the VPU is partly latency-bound on the chain
+# (measured 10.8 -> 10.2 ms/L0-MSAB for the split alone, -> 8.9 with the
+# lower degree; gelu was the largest pass-B term, tools/exp_passb_ablate.py).
 _GELU_COEF = (
-    1.178485462e-01, -5.889994490e-02, 4.406174678e-02, -3.637347645e-02,
-    3.113039480e-02, -2.682388341e-02, 2.216114234e-02, -1.714407838e-02,
-    1.473061072e-02, -1.340006742e-02, 6.852439059e-03, -5.644091090e-04,
-    2.503544139e-03, -4.596844294e-03, 1.847676657e-03,
+    1.413638139e-01, -7.029590887e-02, 5.154378282e-02, -4.045128240e-02,
+    3.117513943e-02, -2.321312828e-02, 1.752299849e-02, -1.130712491e-02,
+    4.284632193e-03, -2.526916729e-03, 3.580725317e-03, -1.676730979e-03,
 )
 
 
 def _gelu(x):
-    xc = jnp.clip(x, -6.0, 6.0)
-    v = xc * xc * np.float32(1.0 / 18.0) - 1.0
-    g = jnp.full_like(v, _GELU_COEF[-1])
-    for coef in _GELU_COEF[-2::-1]:
-        g = g * v + coef
-    return x * (0.5 + xc * g)
+    C = _GELU_COEF
+    xc = jnp.clip(x, -5.0, 5.0)
+    v = xc * xc * np.float32(1.0 / 12.5) - 1.0
+    w = v * v
+    ge = jnp.full_like(w, C[10])
+    for coef in (C[8], C[6], C[4], C[2], C[0]):
+        ge = ge * w + coef
+    go = jnp.full_like(w, C[11])
+    for coef in (C[9], C[7], C[5], C[3], C[1]):
+        go = go * w + coef
+    return x * (0.5 + xc * (ge + v * go))
 
 
 def _precision():
@@ -280,24 +291,23 @@ def _attn_blockdiag(g_p, sq_p, sk_p, rescale, heads, c):
 
 
 def _apply_kernel(
-    x_ref, m0_ref, wa_ref, bp_ref, m2_ref, mavg_ref,
-    lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, b_ref, o_ref, a_scr, b_scr,
+    xm_ref, x0_ref, xp_ref, m0_ref, wa_ref, bp_ref, m2_ref, mavg_ref,
+    lns_ref, lnb_ref, w0_ref, dwk_ref, w4_ref, b_ref, o_ref,
     *, t, wq_n, c, p, h,
 ):
     pc = p * c
     c4 = 4 * c
-    i = pl.program_id(0)
+    ti = pl.program_id(0)  # no lag: tile ti reads blocks ti-1 / ti / ti+1
     lo, hi = b_ref[0, 0], b_ref[0, 1]  # valid-row bounds (==0, h unsharded)
-    cur = x_ref[...]  # input block min(i, n-1)
-    ti = i - 1  # output tile index (lag-1 emission)
 
-    win = jnp.concatenate([b_scr[...], a_scr[...], cur[:3]], axis=0)  # (T+6, Wq, PC)
+    # The 3-row halo on each side comes from the NEIGHBOR BLOCKS of the same
+    # input, passed as two extra lagged refs — the Pallas pipeline fetches
+    # each block up to 3x from HBM, which hides under this VPU-bound kernel,
+    # instead of the former rolling VMEM carry (a (T,Wq,PC) + (3,Wq,PC)
+    # scratch copy per step and a wasted lag-1 warmup grid step).
+    win = jnp.concatenate([xm_ref[t - 3 :], x0_ref[...], xp_ref[:3]], axis=0)
     gi = ti * t - 3 + jax.lax.broadcasted_iota(jnp.int32, (t + 6, 1, 1), 0)
     win = jnp.where((gi >= lo) & (gi < hi), win, 0.0)
-
-    # carry update (read-before-write order matters: win is materialized)
-    b_scr[...] = a_scr[t - 3 :]
-    a_scr[...] = cur
 
     # pos_emb on the MXU: both depthwise 3x3s run as neighbor-pack matmuls
     # (the _conv3_mats contract) instead of VPU lane-rotation composites —
@@ -381,11 +391,14 @@ def _apply_kernel(
 def _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p, bounds=None):
     h, wq_n, pc = int(xp.shape[0]), int(xp.shape[1]), int(xp.shape[2])
     n = -(-h // t)
+    xspec = lambda lag: pl.BlockSpec(  # noqa: E731
+        (t, wq_n, pc), lambda i, lag=lag: (jnp.clip(i + lag, 0, n - 1), 0, 0)
+    )
     return pl.pallas_call(
         functools.partial(_apply_kernel, t=t, wq_n=wq_n, c=c, p=p, h=h),
-        grid=(n + 1,),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.minimum(i, n - 1), 0, 0)),  # noqa: B023
+            xspec(-1), xspec(0), xspec(1),
             pl.BlockSpec((3, 3 * pc, pc), lambda i: (0, 0, 0)),
             pl.BlockSpec((pc, pc), lambda i: (0, 0)),
             pl.BlockSpec((1, pc), lambda i: (0, 0)),
@@ -398,15 +411,12 @@ def _apply(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, t, c, p, bounds=No
             pl.BlockSpec((p, 4 * c, pc), lambda i: (0, 0, 0)),
             _bounds_spec(),
         ],
-        out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+        out_specs=pl.BlockSpec((t, wq_n, pc), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, wq_n, pc), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((t, wq_n, pc), jnp.float32),
-            pltpu.VMEM((3, wq_n, pc), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4, _bounds_arr(bounds, h))
+    )(xp, xp, xp, m0, wa_p, bp, m2, mavg, lns, lnb, w0, dwk, w4,
+      _bounds_arr(bounds, h))
 
 
 def _pos_mats(wv, pk0, pk2, c: int, p: int):
@@ -441,8 +451,12 @@ def _ffn_planar_weights(ffn_w, c: int, p: int):
 
 def _pick_t(h: int, c: int) -> int:
     """Row-band height. Packing keeps per-row VMEM roughly level-independent
-    (~Wq * 128 lanes), so T=16 fits every level; T must be >= 3 (carry)."""
-    return max(3, min(16, h))
+    (~Wq * 128 lanes); T=24 fits every level now that the halo comes from
+    lagged input refs instead of VMEM carry scratch (T=32 still dies to
+    register-allocator spills; the unpacked C=124 bottleneck level exceeds
+    scoped VMEM at T=24 by ~2 MB, so it stays at 16), and T must be >= 3
+    (the 3-row halo slice)."""
+    return max(3, min(24 if _pack_of(c) > 1 else 16, h))
 
 
 def fused_msab_block(x, attn_w, ln_w, ffn_w, *, heads):

@@ -30,7 +30,22 @@ def timeit(fn, *args, iters=20):
 
 
 def make_kernel(*, gelu_mode, pos_on, dw3_on, ln_on, ffn_mm_on, attn_on):
-    gelu = {"poly": F._gelu, "erf": F._gelu_erf, "off": lambda v: v}[gelu_mode]
+    _C8 = (
+        1.179308194e-01, -5.784324824e-02, 4.063263055e-02, -5.015029752e-02,
+        5.391227883e-02, 1.937696962e-02, -2.941430293e-02, -6.909487252e-02,
+        5.798335612e-02,
+    )
+
+    def _gelu_d8(x):
+        xc = jnp.clip(x, -6.0, 6.0)
+        v = xc * xc * np.float32(1.0 / 18.0) - 1.0
+        g = jnp.full_like(v, _C8[-1])
+        for coef in _C8[-2::-1]:
+            g = g * v + coef
+        return x * (0.5 + xc * g)
+
+    gelu = {"poly": F._gelu, "erf": F._gelu_erf, "off": lambda v: v,
+            "d8": _gelu_d8}[gelu_mode]
 
     def kern(
         x_ref, m0_ref, wa_ref, bp_ref, m2_ref, mavg_ref,
@@ -174,6 +189,7 @@ def main():
     base = dict(gelu_mode="poly", pos_on=True, dw3_on=True, ln_on=True,
                 ffn_mm_on=True, attn_on=True)
     run_variant("full(poly)", xp, ops, t, c, p, **base)
+    run_variant("d8_gelu", xp, ops, t, c, p, **{**base, "gelu_mode": "d8"})
     run_variant("erf_gelu", xp, ops, t, c, p, **{**base, "gelu_mode": "erf"})
     run_variant("no_gelu", xp, ops, t, c, p, **{**base, "gelu_mode": "off"})
     run_variant("no_pos", xp, ops, t, c, p, **{**base, "pos_on": False})
