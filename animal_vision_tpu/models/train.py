@@ -175,6 +175,50 @@ def synthetic_scenes(n: int, h: int, w: int, seed: int = 0):
     ]
 
 
+def xgen_scenes(n: int, h: int, w: int, seed: int = 0):
+    """Held-out cross-generator scene family (VERDICT round-4 weak #4).
+
+    The training curriculum (synthetic_scenes / tools/train_synth.py) is
+    smooth low-res noise upsampled bilinearly — every training input is
+    band-limited. This family is structurally disjoint: per-channel 1/f
+    amplitude spectra with random phase (the classic natural-image
+    statistics model) plus hard-edged solid rectangles, i.e. full-band
+    content with discontinuities the training family never contains. Ground
+    truth stays the same analytic 3-lobe mapping (spectral/classic.py), so
+    eval-protocol PSNR on these scenes isolates INPUT-distribution
+    generalization of a trained RGB->HSI model rather than re-measuring the
+    training distribution (the round-4 circularity)."""
+    from animal_vision_tpu.spectral.classic import classic_rgb_to_hsi
+
+    rng = np.random.default_rng(seed)
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    amp = 1.0 / np.maximum(np.hypot(fy, fx), 1.0 / max(h, w))
+    rgbs = []
+    for _ in range(n):
+        chans = []
+        for _c in range(3):
+            phase = rng.uniform(0.0, 2.0 * np.pi, (h, w))
+            img = np.fft.ifft2(amp * np.exp(1j * phase)).real
+            img = (img - img.min()) / max(img.max() - img.min(), 1e-8)
+            chans.append(img)
+        rgb = np.stack(chans, axis=-1).astype(np.float32)
+        for _k in range(3):  # sharp structure: random solid rectangles
+            y0 = int(rng.integers(0, max(1, h - 8)))
+            x0 = int(rng.integers(0, max(1, w - 8)))
+            y1 = int(rng.integers(y0 + 4, min(h, y0 + max(8, h // 3)) + 1))
+            x1 = int(rng.integers(x0 + 4, min(w, x0 + max(8, w // 3)) + 1))
+            rgb[y0:y1, x0:x1] = rng.uniform(0.0, 1.0, 3).astype(np.float32)
+        rgbs.append(np.clip(rgb, 0.0, 1.0))
+
+    @jax.jit
+    def gen(batch):
+        return jax.vmap(classic_rgb_to_hsi)(batch)
+
+    hsis = np.asarray(jax.device_get(gen(jnp.asarray(np.stack(rgbs)))), np.float32)
+    return [(rgbs[i], hsis[i]) for i in range(n)]
+
+
 def convergence_demo(
     steps: int = 60,
     patch: int = 32,

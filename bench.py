@@ -128,28 +128,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
-
-def log(m):
-    print(m, file=sys.stderr, flush=True)
-
-def time_chained(prog, frames, iters, tag=""):
-    # per-frame seconds for a batched (B,...)->(B,...) uint8 program.
-    # Heartbeats bracket the compile so the bench's silence watchdog can
-    # tell a hung tunnel from a slow remote compile.
-    log(f"  [hb] {tag} compiling")
-    t0 = time.perf_counter()
-    out = prog(frames)
-    _ = float(jnp.sum(out.astype(jnp.float32)[:1, :2, :2]))  # compile+sync
-    log(f"  [hb] {tag} compiled in {time.perf_counter()-t0:.0f}s")
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        y = frames
-        for _ in range(iters):
-            y = prog(y)
-        _ = float(jnp.sum(y.astype(jnp.float32)[:1, :2, :2]))
-        best = min(best, (time.perf_counter() - t0) / (iters * frames.shape[0]))
-    return best
+# canonical timing methodology shared with the tools/exp_* probes
+from animal_vision_tpu.utils.timing import log, time_chained
 """
 
 
@@ -218,6 +198,17 @@ def _run_phase(label: str, snippet: str, est_s: float, extra: dict) -> dict | No
                 t.join(timeout=5.0)
             if why is not None:
                 log(f"[bench] {label} killed: {why} (attempt {attempt})")
+                # Salvage: long phases print a cumulative JSON line after
+                # each sub-metric, so a kill keeps everything measured so
+                # far instead of losing the whole phase (round-4 weak #2).
+                try:
+                    partial = json.loads("".join(out_lines).strip().splitlines()[-1])
+                    extra.update(partial)
+                    extra[f"partial_{label}"] = why
+                    _write_extra(extra)
+                    log(f"[bench] {label} salvaged {len(partial)} keys")
+                except Exception:
+                    pass
                 if why == "deadline" or attempt == 2:
                     extra[f"skipped_{label}"] = why
                     _write_extra(extra)
@@ -303,6 +294,7 @@ for name in UV_NAMES + UNIQUE_UV_NAMES:
                 raise
     uv[f"uv_classic_{{name}}_1080p_fps"] = round(1.0 / dt, 1)
     log(f"  uv {{name}}: {{1.0/dt:.1f}} fps")
+    print(json.dumps(uv), flush=True)  # cumulative: a kill salvages progress
 vals = sorted(uv.values())
 uv["uv_classic_min_fps"] = vals[0]
 uv["uv_classic_hm_fps"] = round(len(vals) / sum(1.0 / v for v in vals), 1)
@@ -353,29 +345,44 @@ print(json.dumps({{
 
 
 UV_MST_SNIPPET = f"""
+# BASELINE config #4 as written: "MST++ RGB->31-band inference +
+# kestrel/mantis-shrimp UV rendering" (VERDICT round-4 next #4) — plus
+# goldfish for round-over-round continuity. 0.25-scale operating point
+# (the reference's universal hsi_scale default, uv_helpers.py:155-183).
 from animal_vision_tpu.models.providers import attach_mst
-from animal_vision_tpu.species.uv.goldfish import Goldfish
+from animal_vision_tpu.species import get_animal
 rng = np.random.default_rng(0)
 frames = jax.device_put(jnp.asarray(rng.integers(0, 256, size=(4, {H}, {W}, 3), dtype=np.uint8)))
-animal = attach_mst(Goldfish())
-prog = animal._program(({H}, {W}, 3), np.uint8, batched=True)
-wrapped = jax.jit(lambda img: prog(img)[1])
-log("[hb] compiling uv+mst program")
-y = wrapped(frames); _ = float(jnp.sum(y.astype(jnp.float32)[:1, :2, :2]))
-log("[hb] compiled; timing")
-t0 = time.perf_counter()
-y = frames
-for _ in range(8):
-    y = wrapped(y)
-_ = float(jnp.sum(y.astype(jnp.float32)[:1, :2, :2]))
-dt = (time.perf_counter() - t0) / (8 * 4)
-print(json.dumps({{"uv_mst_goldfish_quarter_scale_1080p_fps": round(1.0 / dt, 1)}}))
+_ = float(jnp.sum(frames.astype(jnp.float32)[:1, :2, :2]))
+out = {{}}
+for name in ("goldfish", "kestrel", "mantis_shrimp"):
+    animal = attach_mst(get_animal(name))
+    prog = animal._program(({H}, {W}, 3), np.uint8, batched=True)
+    wrapped = jax.jit(lambda img, p=prog: p(img)[1])
+    dt = time_chained(wrapped, frames, 8, tag=f"uv_mst_{{name}}")
+    key = ("uv_mst_goldfish_quarter_scale_1080p_fps" if name == "goldfish"
+           else f"uv_mst_{{name}}_fps")
+    out[key] = round(1.0 / dt, 1)
+    log(f"  uv+mst {{name}}: {{1.0/dt:.1f}} fps")
+    print(json.dumps(out), flush=True)  # cumulative: a kill salvages progress
 """
 
 
-QUALITY_SNIPPET = """
-from animal_vision_tpu.models.quality import quality_report
-print(json.dumps(quality_report()))
+QUALITY_EVAL_SNIPPET = """
+# Shipped-checkpoint eval protocol + cross-generator eval + fused parity,
+# in that order, emitting a cumulative JSON line after each sub-metric so a
+# deadline kill salvages what finished (VERDICT round-4 weak #2 / next #1b).
+from animal_vision_tpu.models.quality import quality_eval_report
+out = quality_eval_report(emit=lambda d: print(json.dumps(d), flush=True))
+print(json.dumps(out))
+"""
+
+
+QUALITY_CONV_SNIPPET = """
+# The 40-step train->ckpt->resume->eval composition demo, LAST so a budget
+# kill re-loses this re-measurement rather than the checkpoint numbers.
+from animal_vision_tpu.models.quality import quality_convergence_report
+print(json.dumps(quality_convergence_report()))
 """
 
 
@@ -388,7 +395,11 @@ def main() -> None:
     try:
         with open("BENCH_extra.json") as f:
             prior = json.load(f)
-        cleaned = {k: v for k, v in prior.items() if not k.startswith("skipped_")}
+        cleaned = {
+            k: v
+            for k, v in prior.items()
+            if not k.startswith(("skipped_", "partial_"))
+        }
         if cleaned != prior:
             with open("BENCH_extra.json", "w") as f:
                 json.dump(cleaned, f, indent=1)
@@ -406,26 +417,30 @@ def main() -> None:
         log("[bench] FATAL: fleet phase failed; no primary metric")
         sys.exit(1)
     fps = float(fleet["fleet_hm_fps"])
+    primary = json.dumps(
+        {
+            "metric": "nonuv_1080p_frames_per_sec_per_chip_species_avg",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 1000.0, 3),
+        }
+    )
 
     # The primary line goes out the instant we have it; everything after
     # this point is extra credit and can be killed without losing the round.
-    print(
-        json.dumps(
-            {
-                "metric": "nonuv_1080p_frames_per_sec_per_chip_species_avg",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 1000.0, 3),
-            }
-        ),
-        flush=True,
-    )
+    print(primary, flush=True)
 
+    _run_phase("quality_eval", QUALITY_EVAL_SNIPPET, est_s=100.0, extra=extra)
     _run_phase("uv16", UV16_SNIPPET, est_s=150.0, extra=extra)
     _run_phase("mst_fullres", MST_FULLRES_SNIPPET, est_s=90.0, extra=extra)
     _run_phase("uv_mst", UV_MST_SNIPPET, est_s=90.0, extra=extra)
-    _run_phase("quality", QUALITY_SNIPPET, est_s=120.0, extra=extra)
+    _run_phase("quality_convergence", QUALITY_CONV_SNIPPET, est_s=120.0, extra=extra)
     log(f"[bench] done in {time.perf_counter() - _T0:.0f}s -> BENCH_extra.json")
+    # Re-print the primary metric as the FINAL stdout line: the driver
+    # parses the last line of combined output, and for three rounds the
+    # trailing "[bench] done" log left `parsed` null (VERDICT round-4
+    # weak #1 / next #1a).
+    print(primary, flush=True)
 
 
 if __name__ == "__main__":

@@ -1,10 +1,11 @@
-"""Time the 5 unique-UV species + rat_uv at 1080p batch-8 on the real chip.
+"""Time UV species at 1080p batch-8 on the real chip (probe for bench's
+UV16 phase; same methodology by construction — utils/timing.time_chained).
 
-Fills the coverage gap in the last captured artifact (only 11/16 UV species
-timed) and checks the >=100 fps classic floor before the final bench run.
+Note (round-4 advisor): fps here, as in bench.py's UV16 snippet, is
+TRANSFORMED-OUTPUT-ONLY — jitting ``prog(img)[1]`` lets XLA dead-code-
+eliminate the baseline branch of the (baseline, out) visualize tuple.
 """
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -17,6 +18,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 
 from animal_vision_tpu.species import get_animal
+from animal_vision_tpu.utils.timing import log, time_chained
 
 NAMES = sys.argv[1:] or [
     "mantis_shrimp",
@@ -27,11 +29,6 @@ NAMES = sys.argv[1:] or [
     "rat_uv",
 ]
 B, H, W = 8, 1080, 1920
-
-
-def log(m):
-    print(m, file=sys.stderr, flush=True)
-
 
 rng = np.random.default_rng(0)
 frames = jax.device_put(
@@ -44,16 +41,5 @@ for name in NAMES:
     animal = get_animal(name)
     prog = animal._program((H, W, 3), np.uint8, batched=True)
     wrapped = jax.jit(lambda img, p=prog: p(img)[1])
-    t0 = time.perf_counter()
-    out = wrapped(frames)
-    _ = float(jnp.sum(out.astype(jnp.float32)[:1, :2, :2]))
-    log(f"[hb] {name} compiled in {time.perf_counter()-t0:.0f}s")
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        y = frames
-        for _ in range(10):
-            y = wrapped(y)
-        _ = float(jnp.sum(y.astype(jnp.float32)[:1, :2, :2]))
-        best = min(best, (time.perf_counter() - t0) / (10 * B))
+    best = time_chained(wrapped, frames, 10, tag=name)
     print(f"{name}: {1.0/best:.1f} fps", flush=True)

@@ -3,6 +3,13 @@ ARAD eval protocol clears >= 25 dB (VERDICT round-3 next #6), then save an
 Orbax checkpoint under animal_vision_tpu/models/pretrained/ for the bench
 quality phase to score.
 
+``--curriculum mixed`` (the default since round 5) trains on BOTH scene
+families — the smooth upsampled-noise family (train.synthetic_scenes) and
+the 1/f-spectrum + hard-edge family (train.xgen_scenes) — so the shipped
+checkpoint generalizes across generators instead of memorizing one input
+distribution (VERDICT round-4 weak #4: xgen PSNR was 26.5 dB on a
+synth-only checkpoint). Held-out eval reports both families separately.
+
 Usage: python tools/train_synth.py [--steps 2000] [--budget-s 1200]
 """
 import argparse
@@ -30,6 +37,7 @@ def main():
     ap.add_argument("--scene-hw", type=int, default=160)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="animal_vision_tpu/models/pretrained/synth_v1")
+    ap.add_argument("--curriculum", choices=("synth", "mixed"), default="mixed")
     args = ap.parse_args()
 
     from animal_vision_tpu.models import eval as meval
@@ -40,8 +48,15 @@ def main():
 
     t0 = time.time()
     print("generating scenes...", flush=True)
-    scenes = T.synthetic_scenes(args.scenes, args.scene_hw, args.scene_hw, seed=0)
-    train_scenes, held = scenes[:-2], scenes[-2:]
+    if args.curriculum == "mixed":
+        half = max(2, args.scenes // 2)
+        synth = T.synthetic_scenes(half, args.scene_hw, args.scene_hw, seed=0)
+        xgen = T.xgen_scenes(half, args.scene_hw, args.scene_hw, seed=100)
+        train_scenes = synth[:-1] + xgen[:-1]
+        held = [synth[-1], xgen[-1]]
+    else:
+        scenes = T.synthetic_scenes(args.scenes, args.scene_hw, args.scene_hw, seed=0)
+        train_scenes, held = scenes[:-2], scenes[-2:]
 
     module = MSTPlusPlus()  # full 3-stage model
     opt = T.make_optimizer(
@@ -89,13 +104,17 @@ def main():
                 flush=True,
             )
 
-    hm = eval_held(state.params)
-    print(f"final held-out psnr {hm['psnr']:.2f} dB", flush=True)
+    for fam, scene in zip(("synth", "xgen")[: len(held)], held):
+        hm = meval.validate(
+            lambda rgb: _apply(state.params, jnp.asarray(rgb)), [scene], crop=0
+        )
+        print(f"final held-out [{fam}] psnr {hm['psnr']:.2f} dB", flush=True)
 
-    proto = eval_protocol_fixtures(
-        lambda rgb: _apply(state.params, jnp.asarray(rgb))
-    )
-    print(f"eval protocol: {proto}", flush=True)
+    apply_fn = lambda rgb: _apply(state.params, jnp.asarray(rgb))
+    proto = eval_protocol_fixtures(apply_fn)
+    print(f"eval protocol (synth): {proto}", flush=True)
+    proto_x = eval_protocol_fixtures(apply_fn, scene_fn=T.xgen_scenes, seed=11)
+    print(f"eval protocol (xgen): {proto_x}", flush=True)
 
     out = os.path.abspath(args.out)
     save_checkpoint(out, state)
