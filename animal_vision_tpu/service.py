@@ -90,3 +90,44 @@ def animal_choices() -> list[dict]:
     from animal_vision_tpu.species import display_name
 
     return [{"name": display_name(n), "value": n} for n in animal_names()]
+
+
+def species_categories() -> dict[str, list[str]]:
+    """Category -> species slugs, the gallery groupings (main.py:98-139)."""
+    from animal_vision_tpu.species import NON_UV_NAMES, UNIQUE_UV_NAMES, UV_NAMES
+
+    return {"nonuv": NON_UV_NAMES, "uv": UV_NAMES, "unique_uv": UNIQUE_UV_NAMES}
+
+
+def processgallery(
+    image_data_url: str,
+    category: str = "nonuv",
+    animals: list[str] | None = None,
+    assume_bgr: bool = True,
+) -> str:
+    """Data-URL -> labeled species-grid PNG data URI for one category
+    (the web analogue of ``python -m main gallery``, main.py:204-278;
+    per-species failures are skipped like the CLI's try/except). ``animals``
+    optionally overrides the category's species list (subset rendering)."""
+    from animal_vision_tpu.io.gallery import build_labeled_grid
+    from animal_vision_tpu.species import display_name
+
+    names = animals if animals else species_categories()[category]
+    payload = image_data_url.split(",", 1)[1] if "," in image_data_url else image_data_url
+    frame = _decode_jpeg(base64.b64decode(payload))
+    if not assume_bgr:
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    tiles, labels = [], []
+    for name in names:
+        try:
+            _, out = resolve_animal(name).visualize(frame)
+        except Exception:  # noqa: BLE001 — gallery skips failing species
+            continue
+        tiles.append(out)
+        labels.append(display_name(name))
+    if not tiles:
+        raise ValueError(f"no species of category {category!r} succeeded")
+    grid = build_labeled_grid(tiles, labels)
+    if not assume_bgr:
+        grid = cv2.cvtColor(grid, cv2.COLOR_RGB2BGR)
+    return _encode_data_uri(grid, ".png")

@@ -146,12 +146,19 @@ def test_gallery_grid_shapes():
 
 
 def test_ui_page_lists_animals():
-    from animal_vision_tpu.server.app import ui_page
+    from animal_vision_tpu.server.app import _ui_asset, ui_page
 
     html = ui_page()
-    assert "mantis_shrimp" in html and "/getpic" in html and "<html" in html
-    # the live-video flow (reference ui/src/Video.tsx) is in the page too
-    assert "/getframe" in html and "getUserMedia" in html and "/ws" in html
+    assert "mantis_shrimp" in html and "<html" in html
+    # the shell now serves from static files (server/ui/); the app logic
+    # (Picture /getpic, live-video /getframe + /ws via getUserMedia — the
+    # reference ui/src/{Picture,Video}.tsx flows) lives in app.js, and the
+    # gallery route/category tabs are present in both
+    assert '/ui/app.js' in html and '/ui/app.css' in html
+    assert "page-gallery" in html and "nav-gallery" in html
+    js = _ui_asset("app.js")
+    assert "/getpic" in js and "/getframe" in js and "getUserMedia" in js
+    assert "/ws" in js and "/getgallery" in js and "CATEGORIES" in js
 
 
 def test_stdlib_server_getframe(img_u8):
@@ -163,6 +170,26 @@ def test_stdlib_server_getframe(img_u8):
         "/getframe", json.dumps({"image": url, "animal": "lion"}).encode()
     )
     assert code == 200 and payload["image"].startswith("data:image/jpeg")
+
+
+def test_server_getgallery(img_u8):
+    """/getgallery renders the CLI gallery's labeled category grid
+    (main.py:204-278 -> service.processgallery); the optional ``animals``
+    subset keeps the test to two species."""
+    from animal_vision_tpu.server.app import _StdlibHandler
+
+    ok, buf = cv2.imencode(".png", cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+    url = "data:image/png;base64," + base64.b64encode(buf.tobytes()).decode()
+    code, payload = _StdlibHandler.handle(
+        "/getgallery",
+        json.dumps({"image": url, "category": "nonuv", "animals": ["dog", "rat"]}).encode(),
+    )
+    assert code == 200 and payload["image"].startswith("data:image/png")
+    grid = cv2.imdecode(
+        np.frombuffer(base64.b64decode(payload["image"].split(",", 1)[1]), np.uint8),
+        cv2.IMREAD_COLOR,
+    )
+    assert grid is not None and grid.shape[0] > img_u8.shape[0]  # label strips
 
 
 def test_stream_hub_queue_and_drain():
@@ -218,16 +245,18 @@ def test_pwa_manifest_sw_and_rotation_hooks():
     service worker routes exist and the UI registers/rotates."""
     import json as _json
 
-    from animal_vision_tpu.server.app import MANIFEST_JSON, SW_JS, ui_page
+    from animal_vision_tpu.server.app import MANIFEST_JSON, _ui_asset, ui_page
 
     man = _json.loads(MANIFEST_JSON)
     assert man["display"] == "standalone" and man["start_url"] == "/ui"
     assert man["icons"]
-    assert "caches.open" in SW_JS and "fetch" in SW_JS
+    sw = _ui_asset("sw.js")
+    assert "caches.open" in sw and "fetch" in sw and "/ui/app.js" in sw
     page = ui_page()
     assert 'rel="manifest"' in page
-    assert "serviceWorker" in page and "/sw.js" in page
-    assert "screen.orientation" in page and "rotate(" in page
+    js = _ui_asset("app.js")
+    assert "serviceWorker" in js and "/sw.js" in js
+    assert "screen.orientation" in js and "rotate(" in js
 
 
 def test_fuzzy_filter_and_menu(monkeypatch, capsys):

@@ -3,7 +3,8 @@ B, the packed convs, one whole packed MST stage, and the end-to-end model —
 so README's stage breakdown (VERDICT round-2 weak #2) is measured, not
 guessed. Chained-dispatch timing with a scalar sync (block_until_ready does
 not block on the axon tunnel)."""
-import time
+import sys, time
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,8 @@
 FFN) at L0 full-res: drop each component to see its marginal cost. The
 variants are private copies of _apply_kernel with pieces disabled."""
 import functools
-import time
+import sys, time
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,8 @@ def timeit(fn, *args, iters=20):
     return best
 
 
-def make_kernel(*, gelu_mode, pos_on, dw3_on, ln_on, ffn_mm_on, attn_on):
+def make_kernel(*, gelu_mode, pos_on, dw3_on, ln_on, ffn_mm_on, attn_on,
+                masks_on=True):
     _C8 = (
         1.179308194e-01, -5.784324824e-02, 4.063263055e-02, -5.015029752e-02,
         5.391227883e-02, 1.937696962e-02, -2.941430293e-02, -6.909487252e-02,
@@ -44,8 +46,24 @@ def make_kernel(*, gelu_mode, pos_on, dw3_on, ln_on, ffn_mm_on, attn_on):
             g = g * v + coef
         return x * (0.5 + xc * g)
 
+    # Round-5 candidate: constrained deg-7 fit on |x| <= 4, exact tails
+    # (max |err| 1.87e-4 in f32 over [-10, 10] — see tools notes); chains
+    # of 3+3 madds vs the shipped deg-11's 5+5.
+    _C7 = (
+        1.759428961e-01, -8.434102309e-02, 5.619304976e-02, -3.672315230e-02,
+        2.106373072e-02, -1.255914838e-02, 8.723456229e-03, -3.299809029e-03,
+    )
+
+    def _gelu_d7(x):
+        xc = jnp.clip(x, -4.0, 4.0)
+        v = xc * xc * np.float32(1.0 / 8.0) - 1.0
+        w = v * v
+        ge = ((_C7[6] * w + _C7[4]) * w + _C7[2]) * w + _C7[0]
+        go = ((_C7[7] * w + _C7[5]) * w + _C7[3]) * w + _C7[1]
+        return x * (0.5 + xc * (ge + v * go))
+
     gelu = {"poly": F._gelu, "erf": F._gelu_erf, "off": lambda v: v,
-            "d8": _gelu_d8}[gelu_mode]
+            "d8": _gelu_d8, "d7": _gelu_d7}[gelu_mode]
 
     def kern(
         x_ref, m0_ref, wa_ref, bp_ref, m2_ref, mavg_ref,
@@ -58,8 +76,9 @@ def make_kernel(*, gelu_mode, pos_on, dw3_on, ln_on, ffn_mm_on, attn_on):
         cur = x_ref[...]
         ti = i - 1
         win = jnp.concatenate([b_scr[...], a_scr[...], cur[:3]], axis=0)
-        gi = ti * t - 3 + jax.lax.broadcasted_iota(jnp.int32, (t + 6, 1, 1), 0)
-        win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
+        if masks_on:
+            gi = ti * t - 3 + jax.lax.broadcasted_iota(jnp.int32, (t + 6, 1, 1), 0)
+            win = jnp.where((gi >= 0) & (gi < h), win, 0.0)
         b_scr[...] = a_scr[t - 3 :]
         a_scr[...] = cur
 
@@ -71,8 +90,9 @@ def make_kernel(*, gelu_mode, pos_on, dw3_on, ln_on, ffn_mm_on, attn_on):
                 piece = F._dot(band.reshape((t + 4) * wq_n, 3 * pc), m0_ref[dy])
                 g1in = piece if g1in is None else g1in + piece
             g1 = gelu(g1in.reshape(t + 4, wq_n, pc))
-            gig = ti * t - 2 + jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0)
-            g1 = jnp.where((gig >= 0) & (gig < h), g1, 0.0)
+            if masks_on:
+                gig = ti * t - 2 + jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0)
+                g1 = jnp.where((gig >= 0) & (gig < h), g1, 0.0)
             nbrg = F._nbr(g1)
             pos = None
             for dy in range(3):
@@ -107,7 +127,7 @@ def make_kernel(*, gelu_mode, pos_on, dw3_on, ln_on, ffn_mm_on, attn_on):
                 hp = gelu(F._dot(y, w0_ref[po])).reshape(t + 2, wq_n, c4)
             else:
                 hp = gelu(y[:, :c4].reshape(-1, wq_n, c4)[: t + 2])
-            hs.append(jnp.where(hmask, hp, 0.0))
+            hs.append(jnp.where(hmask, hp, 0.0) if masks_on else hp)
 
         def shl(a):
             return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
@@ -197,6 +217,13 @@ def main():
     run_variant("no_ln", xp, ops, t, c, p, **{**base, "ln_on": False})
     run_variant("no_ffn_mm", xp, ops, t, c, p, **{**base, "ffn_mm_on": False})
     run_variant("no_attn_mm", xp, ops, t, c, p, **{**base, "attn_on": False})
+    run_variant("d7_gelu", xp, ops, t, c, p, **{**base, "gelu_mode": "d7"})
+    run_variant("no_masks", xp, ops, t, c, p, **{**base, "masks_on": False})
+    run_variant("d7+no_masks", xp, ops, t, c, p,
+                **{**base, "gelu_mode": "d7", "masks_on": False})
+    run_variant("t32", xp, ops, 32, c, p, **base)
+    run_variant("t32+d7+no_masks", xp, ops, 32, c, p,
+                **{**base, "gelu_mode": "d7", "masks_on": False})
     run_variant(
         "copy_only", xp, ops, t, c, p,
         gelu_mode="off", pos_on=False, dw3_on=False, ln_on=False,

@@ -43,13 +43,13 @@ def make_kernel(fn, reps):
     def kernel(x_ref, o_ref):
         y = x_ref[...]
         for _ in range(reps):
-            y = fn(y)
+            y = fn(y).astype(y.dtype)
         o_ref[...] = y
 
     return kernel
 
 
-def bench(fn, dtype, reps=8, iters=30, tag=""):
+def bench(fn, dtype, reps=64, iters=30, tag=""):
     x = jnp.asarray(np.random.default_rng(0).random((H, W), np.float32) * 4 - 2, dtype)
     prog = jax.jit(
         lambda t: pl.pallas_call(
@@ -90,5 +90,5 @@ if __name__ == "__main__":
     for dt in (jnp.float32, jnp.bfloat16):
         bench(_gelu, dt, tag="gelu_deg11")
         bench(_gelu7, dt, tag="gelu_deg7")
-        bench(madd3, dt, tag="madd3x3")
-        bench(lambda v: v * 1.0001 + 0.0001, dt, reps=32, tag="single_madd")
+        bench(madd3, dt, reps=32, tag="madd3x3")
+        bench(lambda v: v * 1.0001 + 0.0001, dt, reps=256, tag="single_madd")
