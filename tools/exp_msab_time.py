@@ -59,7 +59,12 @@ def main():
         heads = c // 31
         pc = p * c
         wq_n = W // p
-        xp = mk(H, wq_n, pc, scale=0.3)
+        # on-device build: a host device_put of this size takes minutes
+        # over the axon tunnel
+        xp = jax.jit(
+            lambda k: jax.random.normal(k, (H, wq_n, pc), jnp.float32) * 0.3
+        )(jax.random.PRNGKey(0))
+        _ = float(jnp.sum(xp[:1, :1]))
         attn_w = {
             "to_q": mk(c, c), "to_k": mk(c, c), "to_v": mk(c, c),
             "rescale": mk(heads, 1, 1, scale=1.0),
@@ -87,7 +92,10 @@ def main():
         )
 
     # packed convs at L0
-    xp = mk(H0, W0 // 4, 124, scale=0.3)
+    xp = jax.jit(
+        lambda k: jax.random.normal(k, (H0, W0 // 4, 124), jnp.float32) * 0.3
+    )(jax.random.PRNGKey(1))
+    _ = float(jnp.sum(xp[:1, :1]))
     k33 = mk(3, 3, 31, 31, scale=0.1)
     f = jax.jit(lambda v: F.packed_conv3x3(v, k33, 31, 4))
     print(f"packed conv3x3 31->31 @L0: {chain(f, xp):.2f} ms")
@@ -105,7 +113,10 @@ def main():
     print(f"mst_stage_packed @1080p: {chain(f_stage, xp):.2f} ms")
 
     model = MSTPlusPlus()
-    x = mk(1, 1080, 1920, 3, scale=0.3)
+    x = jax.jit(
+        lambda k: jax.random.uniform(k, (1, 1080, 1920, 3), jnp.float32)
+    )(jax.random.PRNGKey(2))
+    _ = float(jnp.sum(x[:, :1, :1]))
     vm = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     f_model = jax.jit(lambda a: model.apply(vm, a))
     tm = timeit(f_model, x, iters=5)

@@ -199,7 +199,12 @@ def main():
 
     H, W, c, p = 1088, 1920, 31, 4
     pc, c4 = p * c, 4 * c
-    xp = mk(H, W // p, pc, scale=0.3)
+    # Build the 258 MB frame ON DEVICE: a host device_put of this size
+    # takes minutes over the axon tunnel (bulk transfers are the slow path).
+    xp = jax.jit(
+        lambda k: jax.random.normal(k, (H, W // p, pc), jnp.float32) * 0.3
+    )(jax.random.PRNGKey(0))
+    _ = float(jnp.sum(xp[:1, :1]))
     ops = (
         mk(3, 3 * pc, pc), mk(pc, pc), mk(1, pc), mk(3, 3 * pc, pc), mk(pc, pc),
         jnp.ones((1, pc)), jnp.zeros((1, pc)),

@@ -156,5 +156,80 @@ def main():
     print(f"  percentile over (H,W,10) alone: {ms:.2f} ms", flush=True)
 
 
+def main_rat():
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, size=(BATCH, H, W, 3), dtype=np.uint8))
+    )
+    _ = float(jnp.sum(frames.astype(jnp.float32)[:1, :2, :2]))
+
+    from animal_vision_tpu.species.uv.rat_uv import RatUV
+
+    print("rat_uv stage ablation (1080p):", flush=True)
+    time_animal(RatUV(), frames, "full(auto)")
+
+    class DayOnly(RatUV):
+        mode = "day"
+
+    class NightOnly(RatUV):
+        mode = "night"
+
+    class Scale025(RatUV):
+        hsi_scale = 0.25
+
+    class NoPanorama(RatUV):
+        panorama_scale = 1.0
+
+    class NoPct(RatUV):
+        def _render(self, baseline_lin, maps):
+            import animal_vision_tpu.species.uv.rat_uv as m
+
+            orig = m.percentile
+            m.percentile = lambda x, q: jnp.float32(0.5)
+            try:
+                return super()._render(baseline_lin, maps)
+            finally:
+                m.percentile = orig
+
+    class NoScatter(RatUV):
+        def _render_mode(self, composited, night):
+            from animal_vision_tpu.core import effects
+
+            orig = effects.scatter_and_blue_bias
+            effects.scatter_and_blue_bias = lambda x, sigma, blue_bias: x
+            try:
+                return super()._render_mode(composited, night)
+            finally:
+                effects.scatter_and_blue_bias = orig
+
+    class MapsOnly(RatUV):
+        def _render(self, baseline_lin, maps):
+            return jnp.clip(maps[..., :3], 0.0, 1.0)
+
+    class BaselineOnly(RatUV):
+        def _render(self, baseline_lin, maps):
+            return jnp.clip(baseline_lin + 0.0 * maps[..., :1], 0.0, 1.0)
+
+    for cls, tag in [
+        (DayOnly, "day_only(single branch)"),
+        (NightOnly, "night_only"),
+        (Scale025, "hsi_scale_0.25"),
+        (NoPanorama, "no_panorama_warp"),
+        (NoPct, "no_percentile"),
+        (NoScatter, "no_scatter_blur"),
+        (MapsOnly, "maps_only(skip render)"),
+        (BaselineOnly, "baseline_only(skip maps use)"),
+    ]:
+        try:
+            time_animal(cls(), frames, tag)
+        except Exception as e:
+            print(f"  {tag}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "rat" in _sys.argv[1:]:
+        main_rat()
+    else:
+        main()
